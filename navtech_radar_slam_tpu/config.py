@@ -1,0 +1,271 @@
+"""Configuration system.
+
+The reference exposes only two roslaunch params (`keyframe_meter_gap`,
+`sc_dist_thres`, sc_pgo.launch:3-4) and hard-codes every other knob
+(SURVEY §5.6 inventory).  Here every constant is a typed dataclass field;
+defaults reproduce the reference's *effective* launch configuration
+(i.e. launch overrides applied, not the in-code defaults they shadow).
+
+Configs are immutable (frozen dataclasses) so they can be closed over by
+jitted functions; anything that must be traced is an explicit argument.
+Serialization: `to_dict`/`from_dict` + JSON round-trip for checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class RadarConfig:
+    """Navtech CIR204-H polar scan geometry (MulRan "polar oxford form",
+    README.md:70-71)."""
+
+    num_azimuths: int = 400
+    num_range_bins: int = 3360
+    range_resolution: float = 0.059576  # m / bin (MulRan Navtech)
+    #: leading image columns that hold per-ray metadata, not power returns:
+    #: 8 bytes UNIX timestamp + 2 bytes azimuth encoder + 1 byte validity
+    #: (oxford radar robotcar format)
+    meta_columns: int = 11
+    scan_rate_hz: float = 4.0
+
+    @property
+    def padded_range_bins(self) -> int:
+        """Range bins padded to a lane multiple for TPU tiling."""
+        return _round_up(self.num_range_bins, 128)
+
+    @property
+    def max_range(self) -> float:
+        return self.num_range_bins * self.range_resolution
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """cen2019 polar peak detector + patch descriptors.
+
+    The reference's front-end (ORORA submodule, absent; SURVEY §1 L1) uses
+    cen2019 feature extraction and ORB+Hamming matching on the Cartesian
+    image.  TPU-first redesign: cen2019 as vectorized/Pallas image ops,
+    descriptors as normalized Cartesian patches matched with one MXU matmul.
+    """
+
+    detector: str = "cen2019"  # or "cen2018"
+    #: zero out returns closer than this many bins (sensor ringing)
+    min_range_bins: int = 58
+    #: gaussian smoothing sigma along range (bins) before gradient
+    smooth_sigma_bins: float = 2.0
+    #: cen2018 threshold: mean + zq * std per azimuth
+    cen2018_zq: float = 3.0
+    #: static feature capacity (padded; validity-masked)
+    max_features: int = 1024
+    #: Cartesian image used for descriptors
+    cart_size: int = 512
+    cart_resolution: float = 0.5  # m / pixel  (512 px -> 256 m square)
+    #: descriptor patch edge (pixels); descriptor dim = patch_size**2
+    patch_size: int = 8
+    #: matching: take top-k mutual matches by descriptor correlation
+    max_matches: int = 512
+    #: Lowe-style ratio test threshold on correlation distance
+    ratio_test: float = 0.95
+
+
+@dataclass(frozen=True)
+class RegistrationConfig:
+    """ORORA-style outlier-robust SE(2) estimation (arXiv:2303.01876;
+    SURVEY §1 L1 step 4).  Anisotropic uncertainty + GNC-TLS rotation +
+    decoupled component-wise translation."""
+
+    #: measurement noise: along-range and tangential (azimuth) sigma in m.
+    sigma_range: float = 0.25
+    sigma_azimuth_rad: float = 0.01745  # ~1 deg; tangential sigma = r * this
+    #: pairwise-consistency gate (m) for spectral/max-clique pruning
+    consistency_gate: float = 1.0
+    #: power-iteration steps for spectral inlier selection
+    spectral_iters: int = 20
+    #: keep top-k correspondences by spectral score
+    spectral_top_k: int = 256
+    #: GNC-TLS schedule
+    gnc_max_iters: int = 32
+    gnc_div_factor: float = 1.4
+    #: TLS inlier cost threshold (squared Mahalanobis)
+    gnc_barc2: float = 1.0
+    #: translation: iterations of IRLS component-wise robust estimation
+    cote_iters: int = 10
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe gating (laserPosegraphOptimization.cpp:455-470)."""
+
+    #: translation accumulator gate; launch override 0.2 (sc_pgo.launch:3)
+    keyframe_meter_gap: float = 0.2
+    #: keyframe cloud voxel size (laserPosegraphOptimization.cpp:687-689)
+    keyframe_voxel_size: float = 0.4
+    #: static keyframe capacity of the device-resident bank (ring of blocks)
+    max_keyframes: int = 4096
+    #: per-keyframe stored feature points (padded)
+    points_per_keyframe: int = 1024
+
+
+@dataclass(frozen=True)
+class ScanContextConfig:
+    """ScanContext descriptor + search (Scancontext.h:83-103).
+
+    The KD-tree/ring-key machinery of the reference exists because it is
+    scalar C++; here the bank search is one batched correlation, but the
+    ring-key prefilter is kept as an optional cheap first stage for the
+    sharded multi-host path."""
+
+    num_ring: int = 20          # PC_NUM_RING (h:85)
+    num_sector: int = 60        # PC_NUM_SECTOR (h:86)
+    max_radius: float = 80.0    # PC_MAX_RADIUS (h:87)
+    lidar_height: float = 2.0   # z lift added before binning (h:83)
+    num_exclude_recent: int = 30    # NUM_EXCLUDE_RECENT (h:92)
+    num_candidates: int = 10        # NUM_CANDIDATES_FROM_TREE (h:93) is 3 on
+    # 20-dim ring keys; batched search makes a larger candidate set free.
+    search_ratio: float = 0.1       # SEARCH_RATIO (h:96): ±10% column shifts
+    sc_dist_thres: float = 0.45     # launch override (sc_pgo.launch:4)
+    #: reference rebuilds its KD-tree every 30 inserts (h:103); batched
+    #: search needs no rebuild — kept for the sharded ring-key prefilter.
+    tree_making_period: int = 30
+    #: loop-detection cadence in keyframes (reference: 1 Hz thread,
+    #: laserPosegraphOptimization.cpp:575-585; radar keyframes ~4 Hz)
+    detect_every_n_keyframes: int = 1
+
+
+@dataclass(frozen=True)
+class IcpConfig:
+    """Submap-to-scan ICP loop verification
+    (laserPosegraphOptimization.cpp:330-406)."""
+
+    submap_half_size: int = 25      # ±25 keyframes (line 358)
+    max_corr_dist: float = 150.0    # setMaxCorrespondenceDistance (377)
+    max_iters: int = 100            # setMaximumIterations (378)
+    epsilon: float = 1e-6           # transformation epsilon (379)
+    fitness_thresh: float = 0.3     # acceptance gate (389)
+    submap_voxel_size: float = 0.4  # (347-351)
+    #: padded point capacities for the static-shape ICP problem
+    max_query_points: int = 1024
+    max_target_points: int = 8192
+    #: use ScanContext yaw estimate to initialize ICP (the reference computes
+    #: it and throws it away, laserPosegraphOptimization.cpp:561-562 — we use it)
+    use_yaw_init: bool = True
+
+
+@dataclass(frozen=True)
+class PgoConfig:
+    """Robust pose-graph optimization.
+
+    Reference: GTSAM iSAM2, relinearizeThreshold 0.01, skip 1
+    (laserPosegraphOptimization.cpp:679-682); noise models at 147-171.
+    Here: full-graph robust Gauss-Newton/LM re-solved incrementally with
+    warm starts; normal equations solved by preconditioned CG so the solve
+    is matvec-only (TPU-friendly, shardable)."""
+
+    # noise sigmas (stddev), matching reference variances:
+    prior_sigma: float = 1e-6           # variance 1e-12 (149-151)
+    odom_sigma_rot: float = 1e-3        # variance 1e-6 rad (153-156)
+    odom_sigma_trans: float = 1e-2      # variance 1e-4 m
+    loop_sigma: float = 0.5             # robustLoopNoise score 0.5 (158-163)
+    loop_cauchy_k: float = 1.0          # Cauchy(1) (161)
+    gps_sigma_xy: float = 31622.7766    # variance 1e9 (166-169)
+    gps_sigma_alt: float = 15.8114      # variance 250
+    gps_cauchy_k: float = 1.0
+    # solver
+    gn_iters: int = 8
+    cg_iters: int = 64
+    cg_tol: float = 1e-6
+    lm_lambda0: float = 1e-6
+    #: graph capacities (padded static shapes)
+    max_nodes: int = 4096
+    max_loop_edges: int = 1024
+    max_gps_factors: int = 4096
+    #: GPS<->odom association window (laserPosegraphOptimization.cpp:439)
+    gps_time_window: float = 0.1
+    use_gps: bool = False
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Aggregated map output (laserPosegraphOptimization.cpp:632-668)."""
+
+    map_voxel_size: float = 0.2     # (691-692)
+    keyframe_stride: int = 2        # every-2nd keyframe (634)
+    path_rate_hz: float = 5.0       # (622)
+    map_rate_hz: float = 0.1        # (659)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh sharding of the descriptor bank / keyframe map / PGO."""
+
+    bank_axis: str = "bank"
+    mesh_shape: Tuple[int, ...] = (1,)
+    #: per-shard top-k loop candidates gathered before the global argmin
+    shard_top_k: int = 4
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    radar: RadarConfig = field(default_factory=RadarConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    registration: RegistrationConfig = field(default_factory=RegistrationConfig)
+    keyframes: KeyframeConfig = field(default_factory=KeyframeConfig)
+    scancontext: ScanContextConfig = field(default_factory=ScanContextConfig)
+    icp: IcpConfig = field(default_factory=IcpConfig)
+    pgo: PgoConfig = field(default_factory=PgoConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    #: run loop closure + PGO (launch arg `do_slam`,
+    #: navtech_radar_slam_mulran.launch:3,7); False = odometry only
+    do_slam: bool = True
+    dtype: str = "float32"
+
+    # -- serialization ------------------------------------------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "SlamConfig":
+        kwargs: Dict[str, Any] = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
+                sub_cls = _SUBCONFIGS[f.name]
+                v = sub_cls(**{k: tuple(x) if isinstance(x, list) else x for k, x in v.items()})
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SlamConfig":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kwargs) -> "SlamConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+_SUBCONFIGS = {
+    "radar": RadarConfig,
+    "features": FeatureConfig,
+    "registration": RegistrationConfig,
+    "keyframes": KeyframeConfig,
+    "scancontext": ScanContextConfig,
+    "icp": IcpConfig,
+    "pgo": PgoConfig,
+    "map": MapConfig,
+    "parallel": ParallelConfig,
+}

@@ -1,0 +1,133 @@
+"""Synthetic Navtech radar simulator.
+
+The reference validates only visually on MulRan (SURVEY §4: no tests exist).
+This simulator provides ground-truth-controlled polar scans so every stage —
+cen2019 peaks, registration, ScanContext, ICP, PGO, full SLAM — is unit- and
+integration-testable without the dataset, and so `bench.py` has a
+deterministic, self-contained workload.
+
+World model: static 2-D point scatterers with per-point reflectivity.  A scan
+renders each visible scatterer as a Gaussian blob in (azimuth, range) with
+multiplicative speckle + additive noise floor, mimicking the MulRan polar
+PNGs the real reader decodes (data/mulran.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from navtech_radar_slam_tpu.config import RadarConfig
+
+
+@dataclass
+class SimConfig:
+    num_landmarks: int = 400
+    world_size: float = 400.0          # landmarks in [-ws/2, ws/2]^2 (m)
+    min_reflect: float = 0.35
+    max_reflect: float = 1.0
+    blob_sigma_range: float = 1.5      # bins
+    blob_sigma_azimuth: float = 0.8    # azimuth rows
+    noise_floor: float = 0.04
+    speckle: float = 0.05
+    max_visible_range: float = 180.0   # m
+    seed: int = 0
+
+
+class RadarSimulator:
+    def __init__(self, radar: Optional[RadarConfig] = None, sim: Optional[SimConfig] = None):
+        self.radar = radar or RadarConfig()
+        self.sim = sim or SimConfig()
+        rng = np.random.default_rng(self.sim.seed)
+        ws = self.sim.world_size
+        self.landmarks = rng.uniform(-ws / 2, ws / 2, size=(self.sim.num_landmarks, 2))
+        self.reflect = rng.uniform(
+            self.sim.min_reflect, self.sim.max_reflect, size=(self.sim.num_landmarks,)
+        )
+        self._rng = rng
+
+    # -- trajectories -------------------------------------------------------
+
+    def circuit_trajectory(self, num_scans: int, radius: float = 60.0,
+                           speed: float = 3.0) -> np.ndarray:
+        """Closed loop around the origin -> guaranteed loop closures.
+        Returns (N, 3) SE(2) ground-truth poses [x, y, theta]."""
+        dt = 1.0 / self.radar.scan_rate_hz
+        omega = speed / radius
+        t = np.arange(num_scans) * dt
+        ang = omega * t
+        x = radius * np.cos(ang)
+        y = radius * np.sin(ang)
+        theta = ang + np.pi / 2  # tangent heading
+        return np.stack([x, y, np.arctan2(np.sin(theta), np.cos(theta))], axis=-1)
+
+    def random_trajectory(self, num_scans: int, speed: float = 3.0,
+                          yaw_rate_std: float = 0.05, seed: int = 1) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        dt = 1.0 / self.radar.scan_rate_hz
+        poses = np.zeros((num_scans, 3))
+        yaw_rate = 0.0
+        for i in range(1, num_scans):
+            yaw_rate = 0.9 * yaw_rate + rng.normal(0, yaw_rate_std)
+            th = poses[i - 1, 2] + yaw_rate * dt
+            poses[i, 0] = poses[i - 1, 0] + speed * dt * np.cos(th)
+            poses[i, 1] = poses[i - 1, 1] + speed * dt * np.sin(th)
+            poses[i, 2] = th
+        return poses
+
+    # -- rendering ----------------------------------------------------------
+
+    def visible_landmarks(self, pose: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Landmark (range_m, bearing_rad in sensor frame, reflect) visible
+        from an SE(2) pose."""
+        d = self.landmarks - pose[:2]
+        rng_m = np.linalg.norm(d, axis=-1)
+        bearing = np.arctan2(d[:, 1], d[:, 0]) - pose[2]
+        bearing = np.mod(bearing, 2 * np.pi)
+        vis = (rng_m > 2.0) & (rng_m < min(self.sim.max_visible_range, self.radar.max_range))
+        return rng_m[vis], bearing[vis], self.reflect[vis]
+
+    def render(self, pose: np.ndarray, noise_seed: int = 0) -> np.ndarray:
+        """Render one polar power scan (num_azimuths, padded_range_bins) f32."""
+        rc, sc = self.radar, self.sim
+        na, nb = rc.num_azimuths, rc.num_range_bins
+        img = np.zeros((na, rc.padded_range_bins), np.float32)
+        rng_m, bearing, refl = self.visible_landmarks(pose)
+
+        az_f = bearing / (2 * np.pi) * na          # fractional azimuth row
+        rb_f = rng_m / rc.range_resolution          # fractional range bin
+
+        half_a = max(1, int(np.ceil(3 * sc.blob_sigma_azimuth)))
+        half_r = max(1, int(np.ceil(3 * sc.blob_sigma_range)))
+        da = np.arange(-half_a, half_a + 1)
+        dr = np.arange(-half_r, half_r + 1)
+
+        for i in range(len(rng_m)):
+            a0 = int(np.round(az_f[i]))
+            r0 = int(np.round(rb_f[i]))
+            rows = np.mod(a0 + da, na)
+            cols = r0 + dr
+            ok = (cols >= 0) & (cols < nb)
+            if not ok.any():
+                continue
+            wa = np.exp(-0.5 * ((a0 + da - az_f[i]) / sc.blob_sigma_azimuth) ** 2)
+            wr = np.exp(-0.5 * ((r0 + dr - rb_f[i]) / sc.blob_sigma_range) ** 2)
+            # 1/r power falloff, mild
+            amp = refl[i] * (1.0 / (1.0 + 0.002 * rng_m[i]))
+            patch = amp * np.outer(wa, wr[ok])
+            np.maximum.at(img, (rows[:, None], cols[None, ok]), patch)
+
+        noise_rng = np.random.default_rng(noise_seed)
+        img[:, :nb] += noise_rng.exponential(sc.noise_floor, size=(na, nb)).astype(np.float32)
+        if sc.speckle > 0:
+            img[:, :nb] *= (
+                1.0 + sc.speckle * noise_rng.standard_normal((na, nb))
+            ).clip(0.0, None).astype(np.float32)
+        np.clip(img, 0.0, 1.0, out=img)
+        img[:, : min(40, nb)] = 0.0  # sensor dead zone near 0 range
+        return img
+
+    def render_sequence(self, poses: np.ndarray) -> List[np.ndarray]:
+        return [self.render(poses[i], noise_seed=i) for i in range(len(poses))]
