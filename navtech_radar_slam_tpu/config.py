@@ -64,6 +64,9 @@ class FeatureConfig:
     smooth_sigma_bins: float = 2.0
     #: cen2018 threshold: mean + zq * std per azimuth
     cen2018_zq: float = 3.0
+    #: cen2019 additional noise gate: peaks must exceed mean + peak_zq * std
+    #: of their azimuth's power distribution (rejects noise-floor regions)
+    peak_zq: float = 3.0
     #: static feature capacity (padded; validity-masked)
     max_features: int = 1024
     #: Cartesian image used for descriptors
@@ -99,6 +102,8 @@ class RegistrationConfig:
     gnc_barc2: float = 1.0
     #: translation: iterations of IRLS component-wise robust estimation
     cote_iters: int = 10
+    #: joint anisotropic GN refinement iterations over the inlier set
+    refine_iters: int = 8
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,175 @@
+"""Cartesian rendering, patch descriptors, and feature matching.
+
+The reference's front-end (upstream yeti design, SURVEY §1 L1 step 3) computes
+ORB descriptors on an OpenCV-rendered Cartesian radar image and matches them
+with brute-force Hamming distance.  Binary descriptors and Hamming popcount
+are a poor fit for the MXU, so the TPU-native redesign is:
+
+  * polar -> Cartesian rendering as one bilinear gather (no OpenCV remap);
+  * descriptors = mean/norm-normalized square intensity patches sampled
+    around each feature (K x patch² matrix);
+  * matching = a single (K, D) @ (D, K) correlation matmul on the MXU with
+    mutual-nearest + Lowe ratio gating — the brute-force matcher the
+    reference runs on CPU becomes one fused matmul + argmax.
+
+Frame-to-frame rotation at 4 Hz scan rate is small (< ~10°), so plain
+axis-aligned patches suffice where ORB needed orientation normalization;
+rotation robustness for *loop closures* comes from ScanContext's circular
+shift search (ops/scancontext.py) instead.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from navtech_radar_slam_tpu.config import FeatureConfig, RadarConfig
+from navtech_radar_slam_tpu.ops.cen2019 import FeatureSet
+
+
+def polar_to_cartesian(
+    power: jnp.ndarray, fcfg: FeatureConfig, rcfg: RadarConfig
+) -> jnp.ndarray:
+    """Render (S, S) Cartesian image from (NA, NB) polar power by bilinear
+    sampling; x right, y down-range of azimuth 0, sensor at center."""
+    S = fcfg.cart_size
+    na = rcfg.num_azimuths
+    res = fcfg.cart_resolution
+
+    ij = (jnp.arange(S, dtype=jnp.float32) - S / 2 + 0.5) * res
+    x = ij[None, :]                      # columns -> x
+    y = ij[:, None]                      # rows -> y
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.mod(jnp.arctan2(y, x), 2.0 * jnp.pi)
+
+    az_f = theta / (2.0 * jnp.pi) * na - 0.5
+    rb_f = r / rcfg.range_resolution - 0.5
+
+    a0 = jnp.floor(az_f).astype(jnp.int32)
+    r0 = jnp.floor(rb_f).astype(jnp.int32)
+    wa = az_f - a0.astype(jnp.float32)
+    wr = rb_f - r0.astype(jnp.float32)
+
+    a0m = jnp.mod(a0, na)
+    a1m = jnp.mod(a0 + 1, na)
+    in_range = (r0 >= 0) & (r0 + 1 < rcfg.num_range_bins)
+    r0c = jnp.clip(r0, 0, rcfg.num_range_bins - 1)
+    r1c = jnp.clip(r0 + 1, 0, rcfg.num_range_bins - 1)
+
+    v00 = power[a0m, r0c]
+    v01 = power[a0m, r1c]
+    v10 = power[a1m, r0c]
+    v11 = power[a1m, r1c]
+    out = (
+        v00 * (1 - wa) * (1 - wr)
+        + v01 * (1 - wa) * wr
+        + v10 * wa * (1 - wr)
+        + v11 * wa * wr
+    )
+    return jnp.where(in_range, out, 0.0)
+
+
+def _bilinear_sample(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Sample img[(v, u)] bilinearly; u = column (x), v = row (y). Zero pad."""
+    S = img.shape[0]
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = u - u0.astype(jnp.float32)
+    dv = v - v0.astype(jnp.float32)
+    ok = (u0 >= 0) & (u0 + 1 < S) & (v0 >= 0) & (v0 + 1 < S)
+    u0c = jnp.clip(u0, 0, S - 1)
+    u1c = jnp.clip(u0 + 1, 0, S - 1)
+    v0c = jnp.clip(v0, 0, S - 1)
+    v1c = jnp.clip(v0 + 1, 0, S - 1)
+    out = (
+        img[v0c, u0c] * (1 - du) * (1 - dv)
+        + img[v0c, u1c] * du * (1 - dv)
+        + img[v1c, u0c] * (1 - du) * dv
+        + img[v1c, u1c] * du * dv
+    )
+    return jnp.where(ok, out, 0.0)
+
+
+def patch_descriptors(
+    cart: jnp.ndarray, xy: jnp.ndarray, fcfg: FeatureConfig
+) -> jnp.ndarray:
+    """(K, patch²) normalized intensity patches at metric feature locations.
+
+    xy: (K, 2) sensor-frame meters (from ops.cen2019.features_to_xy)."""
+    S = fcfg.cart_size
+    P = fcfg.patch_size
+    res = fcfg.cart_resolution
+    u = xy[:, 0] / res + S / 2 - 0.5
+    v = xy[:, 1] / res + S / 2 - 0.5
+
+    offs = jnp.arange(P, dtype=jnp.float32) - (P - 1) / 2.0
+    du, dv = jnp.meshgrid(offs, offs, indexing="xy")
+    uu = u[:, None] + du.reshape(-1)[None, :]     # (K, P²)
+    vv = v[:, None] + dv.reshape(-1)[None, :]
+    patches = _bilinear_sample(cart, uu, vv)
+
+    patches = patches - jnp.mean(patches, axis=1, keepdims=True)
+    norm = jnp.linalg.norm(patches, axis=1, keepdims=True)
+    return patches / jnp.maximum(norm, 1e-6)
+
+
+class MatchSet(NamedTuple):
+    """Fixed-size matched correspondence set between two scans."""
+
+    src_xy: jnp.ndarray    # (M, 2) prev-scan points (sensor frame, m)
+    dst_xy: jnp.ndarray    # (M, 2) curr-scan points
+    src_range: jnp.ndarray  # (M,) range of src points (for anisotropic noise)
+    dst_range: jnp.ndarray  # (M,)
+    weight: jnp.ndarray    # (M,) match confidence in [0, 1]
+    valid: jnp.ndarray     # (M,) bool
+
+
+def match_features(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    xy_a: jnp.ndarray,
+    xy_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    fcfg: FeatureConfig,
+) -> MatchSet:
+    """Mutual-nearest + ratio-gated matches via one correlation matmul.
+
+    Replaces the reference's brute-force Hamming matcher: C = Da @ Db^T is a
+    (K, K) MXU matmul; mutual argmax + Lowe ratio run as reductions."""
+    C = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+    neg = jnp.float32(-2.0)
+    C = jnp.where(valid_a[:, None] & valid_b[None, :], C, neg)
+
+    best_j = jnp.argmax(C, axis=1)                       # (K,)
+    best_c = jnp.max(C, axis=1)
+    # second-best for ratio test
+    C_wo = C.at[jnp.arange(C.shape[0]), best_j].set(neg)
+    second_c = jnp.max(C_wo, axis=1)
+    best_i_of_j = jnp.argmax(C, axis=0)                  # (K,)
+    mutual = best_i_of_j[best_j] == jnp.arange(C.shape[0])
+
+    # Lowe ratio on correlation distance (1 - c)
+    d1 = 1.0 - best_c
+    d2 = 1.0 - second_c
+    ratio_ok = d1 < fcfg.ratio_test * d2
+    good = mutual & ratio_ok & valid_a & (best_c > neg + 1.0)
+
+    score = jnp.where(good, best_c, neg)
+    M = fcfg.max_matches
+    top_score, top_i = jax.lax.top_k(score, M)
+    sel_j = best_j[top_i]
+    m_valid = top_score > neg + 1.0
+
+    src = xy_a[top_i]
+    dst = xy_b[sel_j]
+    return MatchSet(
+        src_xy=jnp.where(m_valid[:, None], src, 0.0),
+        dst_xy=jnp.where(m_valid[:, None], dst, 0.0),
+        src_range=jnp.linalg.norm(src, axis=-1) * m_valid,
+        dst_range=jnp.linalg.norm(dst, axis=-1) * m_valid,
+        weight=jnp.where(m_valid, jnp.clip(top_score, 0.0, 1.0), 0.0),
+        valid=m_valid,
+    )

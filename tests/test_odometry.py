@@ -1,0 +1,45 @@
+import numpy as np
+import jax.numpy as jnp
+
+from navtech_radar_slam_tpu.config import SlamConfig
+from navtech_radar_slam_tpu.data import RadarSimulator
+from navtech_radar_slam_tpu.models.odometry import RadarOdometry
+from navtech_radar_slam_tpu.utils import geometry as geo
+
+
+def test_odometry_pair():
+    """Two consecutive simulated scans: estimated increment ~= ground truth."""
+    cfg = SlamConfig()
+    sim = RadarSimulator(cfg.radar)
+    poses = sim.circuit_trajectory(3)
+    odo = RadarOdometry(cfg)
+    odo.process(sim.render(poses[0], noise_seed=0))
+    est_pose, _ = odo.process(sim.render(poses[1], noise_seed=1))
+
+    gt_rel = np.asarray(
+        geo.se2_between(jnp.asarray(poses[0], jnp.float32), jnp.asarray(poses[1], jnp.float32))
+    )
+    res = odo.last_result
+    assert bool(res.ok), f"registration failed, {int(res.num_inliers)} inliers"
+    est_rel = np.asarray(res.rel_pose)
+    assert np.linalg.norm(est_rel[:2] - gt_rel[:2]) < 0.15, (est_rel, gt_rel)
+    assert abs(est_rel[2] - gt_rel[2]) < 0.01
+
+
+def test_odometry_short_sequence():
+    """10-scan dead-reckoning: ATE small relative to path length."""
+    cfg = SlamConfig()
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.random_trajectory(10, speed=4.0, seed=3)
+    odo = RadarOdometry(cfg)
+    est = []
+    for i in range(len(gt)):
+        pose, _ = odo.process(sim.render(gt[i], noise_seed=100 + i))
+        est.append(pose)
+    est = np.asarray(est)
+
+    # align first pose (both start at origin-ish); gt starts at origin
+    err = est[:, :2] - gt[:, :2]
+    ate = np.sqrt((np.linalg.norm(err, axis=1) ** 2).mean())
+    path_len = np.sum(np.linalg.norm(np.diff(gt[:, :2], axis=0), axis=1))
+    assert ate < 0.05 * path_len, f"ATE {ate:.3f} m over {path_len:.1f} m path"
