@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: radar odometry frames/sec on one chip (the flagship path).
+
+Workload: the full per-scan front-end — cen2019 feature extraction over the
+(400 x 3456) polar image, constellation descriptors, MXU matmul matching,
+spectral pruning + GNC-TLS rotation + COTE translation + anisotropic GN
+refine — as one jitted program fed sequentially (scan k depends on the k-1
+carry, exactly like deployment).
+
+Baseline: the Navtech CIR204-H scan rate (4 Hz) — the real-time envelope the
+reference pipeline is built around (SURVEY §6; the reference publishes no
+throughput numbers, BASELINE.md).  vs_baseline = frames_per_sec / 4.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from navtech_radar_slam_tpu.config import SlamConfig
+    from navtech_radar_slam_tpu.data import RadarSimulator
+    from navtech_radar_slam_tpu.models import odometry as odo_mod
+
+    cfg = SlamConfig()
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(12, radius=60.0, speed=3.0)
+    log("rendering scans...")
+    scans = [jnp.asarray(sim.render(gt[i], noise_seed=i)) for i in range(len(gt))]
+    na = cfg.radar.num_azimuths
+    azimuths = jnp.asarray((np.arange(na) + 0.5) / na * 2 * np.pi, jnp.float32)
+
+    step = odo_mod.make_odometry_step(cfg)
+    extract = jax.jit(
+        lambda p, a: odo_mod.extract_scan_features(p, a, cfg)
+    )
+
+    log("compiling...")
+    t0 = time.time()
+    carry = extract(scans[0], azimuths)
+    carry, res = step(scans[1], azimuths, carry)
+    res.rel_pose.block_until_ready()
+    log(f"compile+first step: {time.time() - t0:.1f}s on {jax.devices()[0]}")
+
+    # warm up
+    for i in range(2, 5):
+        carry, res = step(scans[i % len(scans)], azimuths, carry)
+    res.rel_pose.block_until_ready()
+
+    iters = 40
+    t0 = time.time()
+    for i in range(iters):
+        carry, res = step(scans[i % len(scans)], azimuths, carry)
+    res.rel_pose.block_until_ready()
+    dt = time.time() - t0
+    fps = iters / dt
+
+    log(f"steady state: {fps:.1f} frames/s ({1e3 * dt / iters:.2f} ms/frame)")
+    print(json.dumps({
+        "metric": "radar_odometry_frames_per_sec_single_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 4.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,10 @@ class FeatureConfig:
     cart_resolution: float = 0.5  # m / pixel  (512 px -> 256 m square)
     #: descriptor patch edge (pixels); descriptor dim = patch_size**2
     patch_size: int = 8
+    #: constellation descriptor: window edge (m) and grid cells per edge
+    #: (descriptor dim = desc_grid**2); see ops.features.constellation_descriptors
+    desc_window: float = 64.0
+    desc_grid: int = 16
     #: matching: take top-k mutual matches by descriptor correlation
     max_matches: int = 512
     #: Lowe-style ratio test threshold on correlation distance
@@ -104,6 +108,8 @@ class RegistrationConfig:
     cote_iters: int = 10
     #: joint anisotropic GN refinement iterations over the inlier set
     refine_iters: int = 8
+    #: minimum final inliers to trust a registration result
+    min_inliers: int = 8
 
 
 @dataclass(frozen=True)
@@ -154,7 +160,10 @@ class IcpConfig:
     submap_half_size: int = 25      # ±25 keyframes (line 358)
     max_corr_dist: float = 150.0    # setMaxCorrespondenceDistance (377)
     max_iters: int = 100            # setMaximumIterations (378)
-    epsilon: float = 1e-6           # transformation epsilon (379)
+    #: transformation epsilon (379). The reference's 1e-6 assumes double
+    #: precision; in f32 the per-iteration step floor is ~1e-5, so the
+    #: TPU default is 1e-4 (still far below any meaningful motion).
+    epsilon: float = 1e-4
     fitness_thresh: float = 0.3     # acceptance gate (389)
     submap_voxel_size: float = 0.4  # (347-351)
     #: padded point capacities for the static-shape ICP problem

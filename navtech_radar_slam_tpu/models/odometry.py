@@ -39,11 +39,13 @@ class ScanFeatures(NamedTuple):
 
 def extract_scan_features(power: jnp.ndarray, azimuths: jnp.ndarray,
                           cfg: SlamConfig) -> ScanFeatures:
-    """cen2019 peaks -> metric xy -> Cartesian patch descriptors."""
+    """cen2019 peaks -> metric xy -> rotation-invariant constellation
+    descriptors (ops.features.constellation_descriptors)."""
     feats = cen2019.extract_features(power, cfg.features, cfg.radar)
     xy = cen2019.features_to_xy(feats, azimuths, cfg.radar)
-    cart = features.polar_to_cartesian(power, cfg.features, cfg.radar)
-    desc = features.patch_descriptors(cart, xy, cfg.features)
+    desc = features.constellation_descriptors(
+        xy, feats.power, feats.valid, cfg.features
+    )
     return ScanFeatures(
         xy=xy,
         desc=jnp.where(feats.valid[:, None], desc, 0.0),
@@ -99,6 +101,8 @@ class RadarOdometry:
         self.pose = np.zeros(3)          # accumulated [x, y, theta]
         self.num_scans = 0
         self.last_result: Optional[registration.RegistrationResult] = None
+        self.last_rel = np.zeros(3)      # constant-velocity fallback
+        self.num_failures = 0
 
     def default_azimuths(self) -> np.ndarray:
         na = self.cfg.radar.num_azimuths
@@ -116,12 +120,17 @@ class RadarOdometry:
             return self.pose.copy(), self.prev
         curr, result = self._step(power, azimuths, self.prev)
         self.last_result = result
-        rel = np.asarray(result.rel_pose)
         if bool(result.ok):
-            self.pose = np.asarray(
-                geo.se2_mul(jnp.asarray(self.pose, jnp.float32), jnp.asarray(rel))
-            ).astype(np.float64)
-        # on failure: constant-position fallback (keep last pose)
+            rel = np.asarray(result.rel_pose)
+            self.last_rel = rel
+        else:
+            # constant-velocity fallback: reuse the previous increment
+            rel = self.last_rel
+            self.num_failures += 1
+        self.pose = np.asarray(
+            geo.se2_mul(jnp.asarray(self.pose, jnp.float32),
+                        jnp.asarray(rel, jnp.float32))
+        ).astype(np.float64)
         self.prev = curr
         self.num_scans += 1
         return self.pose.copy(), curr

@@ -1,0 +1,324 @@
+"""Robust SE(3) pose-graph optimization, TPU-native.
+
+Reproduces the capability of the reference's GTSAM iSAM2 back-end
+(laserPosegraphOptimization.cpp:84-96, 147-173, 291-302): a pose graph with
+
+  * a gauge-fixing prior on node 0 (variance 1e-12, lines 149-151 — here the
+    node-0 update is *frozen exactly* instead of whitened by 1e6, which would
+    wreck f32 conditioning; same fixed-gauge semantics);
+  * odometry Between factors (sigma 1e-3 rot / 1e-2 trans, lines 153-156);
+  * loop Between factors under a Cauchy robust kernel (score 0.5, Cauchy(1),
+    lines 158-163);
+  * GPS position factors, altitude-dominated (xy variance 1e9, alt 250,
+    Cauchy, lines 165-171).
+
+TPU-first solver design — the iSAM2 incremental Bayes tree is a pointer-heavy
+CPU structure; the equivalent capability here is **warm-started robust
+Gauss-Newton re-solved per keyframe**:
+
+  * residuals of ALL factors evaluate batched (vmapped se3 log-maps);
+  * the GN normal equations H δ = -g are solved matrix-free by conjugate
+    gradients where H v = Jᵀ(J v) is computed by one jvp + one vjp through
+    the residual function — no Jacobian is ever materialized, every CG
+    iteration is a handful of fused batched ops, and the same matvec
+    shards over a device mesh for the distributed graph (parallel/);
+  * robustness via IRLS: Cauchy weights recomputed each outer iteration
+    (fixed iteration counts, masked convergence — XLA-friendly);
+  * Levenberg damping on the CG system for far-from-convergence safety.
+
+Because each keyframe's solve warm-starts from the previous estimate, the
+per-keyframe cost behaves like iSAM2's incremental update while remaining a
+single statically-shaped compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navtech_radar_slam_tpu.config import PgoConfig
+from navtech_radar_slam_tpu.utils import geometry as geo
+
+
+class GraphArrays(NamedTuple):
+    """Padded, statically-shaped pose-graph state (device-resident)."""
+
+    poses: jnp.ndarray        # (N, 4, 4) current estimates
+    num_nodes: jnp.ndarray    # () int32
+    odom_meas: jnp.ndarray    # (N, 4, 4) measurement T_{k-1,k} stored at k
+    odom_valid: jnp.ndarray   # (N,) bool (slot 0 unused)
+    loop_i: jnp.ndarray       # (L,) int32 earlier node
+    loop_j: jnp.ndarray       # (L,) int32 later node
+    loop_meas: jnp.ndarray    # (L, 4, 4) T_{i,j} from ICP
+    loop_valid: jnp.ndarray   # (L,) bool
+    gps_meas: jnp.ndarray     # (N, 3) world-frame position measurement
+    gps_valid: jnp.ndarray    # (N,) bool
+
+
+def empty_graph(cfg: PgoConfig, dtype=jnp.float32) -> GraphArrays:
+    N, L = cfg.max_nodes, cfg.max_loop_edges
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
+    return GraphArrays(
+        poses=eye,
+        num_nodes=jnp.asarray(0, jnp.int32),
+        odom_meas=eye,
+        odom_valid=jnp.zeros((N,), bool),
+        loop_i=jnp.zeros((L,), jnp.int32),
+        loop_j=jnp.zeros((L,), jnp.int32),
+        loop_meas=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (L, 4, 4)),
+        loop_valid=jnp.zeros((L,), bool),
+        gps_meas=jnp.zeros((N, 3), dtype),
+        gps_valid=jnp.zeros((N,), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# residuals
+# ---------------------------------------------------------------------------
+
+def _between_residual(Ti, Tj, meas):
+    """r = log(meas^{-1} Ti^{-1} Tj) ∈ R^6 (gtsam BetweenFactor error)."""
+    return geo.se3_log(geo.se3_inv(meas) @ (geo.se3_inv(Ti) @ Tj))
+
+
+def _apply_delta(poses, delta):
+    """Right-perturbation update: T <- T exp(delta)."""
+    return poses @ geo.se3_exp(delta)
+
+
+def _whiten_between(r, sigma_rot, sigma_trans):
+    s = jnp.concatenate(
+        [jnp.full((3,), 1.0 / sigma_trans), jnp.full((3,), 1.0 / sigma_rot)]
+    )
+    return r * s
+
+
+def residuals(
+    delta: jnp.ndarray,
+    g: GraphArrays,
+    loop_irls_w: jnp.ndarray,
+    gps_irls_w: jnp.ndarray,
+    cfg: PgoConfig,
+) -> jnp.ndarray:
+    """All whitened factor residuals as one flat vector; delta (N, 6) is the
+    tangent update being linearized (0 at the linearization point).
+
+    Node 0 is the gauge: its delta is zeroed (exact prior)."""
+    N = g.poses.shape[0]
+    idx = jnp.arange(N)
+    delta = jnp.where((idx == 0)[:, None], 0.0, delta)
+    P = _apply_delta(g.poses, delta)
+
+    # odometry chain factors: node k vs k-1
+    Pi = jnp.roll(P, 1, axis=0)
+    r_odom = jax.vmap(_between_residual)(Pi, P, g.odom_meas)
+    r_odom = jax.vmap(
+        functools.partial(
+            _whiten_between,
+            sigma_rot=cfg.odom_sigma_rot,
+            sigma_trans=cfg.odom_sigma_trans,
+        )
+    )(r_odom)
+    r_odom = r_odom * g.odom_valid[:, None]
+
+    # loop factors (IRLS-weighted Cauchy)
+    Li = P[g.loop_i]
+    Lj = P[g.loop_j]
+    r_loop = jax.vmap(_between_residual)(Li, Lj, g.loop_meas)
+    r_loop = r_loop / cfg.loop_sigma
+    r_loop = r_loop * (g.loop_valid * jnp.sqrt(loop_irls_w))[:, None]
+
+    # GPS position factors (altitude-dominated by the sigma pattern)
+    t = P[:, :3, 3]
+    s = jnp.asarray(
+        [1.0 / cfg.gps_sigma_xy, 1.0 / cfg.gps_sigma_xy, 1.0 / cfg.gps_sigma_alt]
+    )
+    r_gps = (t - g.gps_meas) * s
+    r_gps = r_gps * (g.gps_valid * jnp.sqrt(gps_irls_w))[:, None]
+
+    return jnp.concatenate([r_odom.reshape(-1), r_loop.reshape(-1), r_gps.reshape(-1)])
+
+
+# ---------------------------------------------------------------------------
+# solver
+# ---------------------------------------------------------------------------
+
+def _cg_solve(matvec, b, precond, iters: int, tol: float):
+    """Jacobi-preconditioned CG on H x = b with masked early freeze.
+
+    f32 note: the whitened normal equations have condition ~1e6+ (odometry
+    whitening 1e3 vs loop whitening 2); unpreconditioned CG stalls in f32,
+    the diagonal preconditioner restores convergence."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    b2 = jnp.maximum(jnp.vdot(b, b), 1e-30)
+
+    def body(carry, _):
+        x, r, p, rz, done = carry
+        Hp = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-30)
+        x1 = x + alpha * p
+        r1 = r - alpha * Hp
+        z1 = precond(r1)
+        rz1 = jnp.vdot(r1, z1)
+        beta = rz1 / jnp.maximum(rz, 1e-30)
+        p1 = z1 + beta * p
+        new_done = done | (jnp.vdot(r1, r1) / b2 < tol * tol)
+        keep = lambda new, old: jnp.where(done, old, new)
+        return (keep(x1, x), keep(r1, r), keep(p1, p), keep(rz1, rz), new_done), None
+
+    (x, _, _, _, _), _ = jax.lax.scan(
+        body, (x0, r0, p0, rz0, jnp.asarray(False)), None, length=iters
+    )
+    return x
+
+
+def _diag_precond(g: GraphArrays, loop_w, gps_w, cfg: PgoConfig, lam: float):
+    """Analytic approximation of diag(JᵀJ): each factor contributes its
+    squared whitening to the diagonal blocks of both endpoint nodes (the
+    between-factor Jacobians are ~orthonormal in the tangent basis)."""
+    N = g.poses.shape[0]
+    s_odom = jnp.concatenate(
+        [
+            jnp.full((3,), 1.0 / cfg.odom_sigma_trans**2),
+            jnp.full((3,), 1.0 / cfg.odom_sigma_rot**2),
+        ]
+    )
+    d = jnp.zeros((N, 6))
+    ov = g.odom_valid.astype(jnp.float32)[:, None]
+    d = d + ov * s_odom[None, :]                       # factor k touches node k
+    d = d + jnp.roll(ov, -1, axis=0) * s_odom[None, :]  # and node k-1
+
+    s_loop = (1.0 / cfg.loop_sigma**2) * (g.loop_valid * loop_w)
+    d = d.at[g.loop_i].add(s_loop[:, None] * jnp.ones((1, 6)))
+    d = d.at[g.loop_j].add(s_loop[:, None] * jnp.ones((1, 6)))
+
+    s_gps = jnp.asarray(
+        [1.0 / cfg.gps_sigma_xy**2, 1.0 / cfg.gps_sigma_xy**2,
+         1.0 / cfg.gps_sigma_alt**2, 0.0, 0.0, 0.0]
+    )
+    d = d + (g.gps_valid * gps_w)[:, None] * s_gps[None, :]
+
+    d = d + lam
+    dinv = (1.0 / jnp.maximum(d, 1e-12)).reshape(-1)
+    return lambda v: dinv * v
+
+
+def _gn_step(g: GraphArrays, cfg: PgoConfig, lam: float) -> GraphArrays:
+    """One IRLS + damped GN step: recompute robust weights, solve normal
+    equations by CG through jvp/vjp matvecs, apply the tangent update."""
+    N = g.poses.shape[0]
+    zero = jnp.zeros((N, 6), g.poses.dtype)
+
+    # IRLS weights from current (unweighted) robust-factor residuals
+    r_loop_raw = jax.vmap(_between_residual)(
+        g.poses[g.loop_i], g.poses[g.loop_j], g.loop_meas
+    ) / cfg.loop_sigma
+    loop_r2 = jnp.sum(r_loop_raw * r_loop_raw, axis=-1)
+    loop_w = 1.0 / (1.0 + loop_r2 / (cfg.loop_cauchy_k**2))
+
+    t = g.poses[:, :3, 3]
+    s = jnp.asarray(
+        [1.0 / cfg.gps_sigma_xy, 1.0 / cfg.gps_sigma_xy, 1.0 / cfg.gps_sigma_alt]
+    )
+    gps_r2 = jnp.sum(((t - g.gps_meas) * s) ** 2, axis=-1)
+    gps_w = 1.0 / (1.0 + gps_r2 / (cfg.gps_cauchy_k**2))
+
+    rfun = lambda d: residuals(d, g, loop_w, gps_w, cfg)
+    r0, vjp = jax.vjp(rfun, zero)
+
+    def matvec(v):
+        vd = v.reshape(N, 6)
+        _, Jv = jax.jvp(rfun, (zero,), (vd,))
+        JtJv = vjp(Jv)[0].reshape(-1)
+        return JtJv + lam * v
+
+    (g_vec,) = vjp(r0)
+    b = -g_vec.reshape(-1)
+    precond = _diag_precond(g, loop_w, gps_w, cfg, lam)
+    delta = _cg_solve(matvec, b, precond, cfg.cg_iters, cfg.cg_tol).reshape(N, 6)
+
+    idx = jnp.arange(N)
+    active = (idx > 0) & (idx < g.num_nodes)
+    delta = jnp.where(active[:, None], delta, 0.0)
+    return g._replace(poses=_apply_delta(g.poses, delta))
+
+
+def solve(g: GraphArrays, cfg: PgoConfig) -> GraphArrays:
+    """Full robust solve: cfg.gn_iters outer IRLS/GN iterations."""
+
+    def body(gg, _):
+        return _gn_step(gg, cfg, cfg.lm_lambda0), None
+
+    g, _ = jax.lax.scan(body, g, None, length=cfg.gn_iters)
+    return g
+
+
+def make_solver(cfg: PgoConfig):
+    return jax.jit(functools.partial(solve, cfg=cfg))
+
+
+# ---------------------------------------------------------------------------
+# host-side graph builder
+# ---------------------------------------------------------------------------
+
+class PoseGraph:
+    """Host wrapper: accumulates factors into padded arrays, re-solves
+    incrementally (warm-started) like the reference's per-keyframe
+    runISAM2opt (laserPosegraphOptimization.cpp:291-302)."""
+
+    def __init__(self, cfg: PgoConfig):
+        self.cfg = cfg
+        self.g = empty_graph(cfg)
+        self._solve = make_solver(cfg)
+        self.num_nodes = 0
+        self.num_loops = 0
+
+    def add_node(self, pose_init: np.ndarray, odom_meas: np.ndarray = None):
+        """Append node with initial SE(3) pose; odom_meas is T_{prev,this}
+        (None for the first node, which becomes the gauge/prior)."""
+        k = self.num_nodes
+        if k >= self.cfg.max_nodes:
+            raise RuntimeError("pose graph capacity exceeded; raise max_nodes")
+        self.g = self.g._replace(
+            poses=self.g.poses.at[k].set(jnp.asarray(pose_init)),
+            num_nodes=jnp.asarray(k + 1, jnp.int32),
+        )
+        if odom_meas is not None and k > 0:
+            self.g = self.g._replace(
+                odom_meas=self.g.odom_meas.at[k].set(jnp.asarray(odom_meas)),
+                odom_valid=self.g.odom_valid.at[k].set(True),
+            )
+        self.num_nodes = k + 1
+        return k
+
+    def add_loop(self, i: int, j: int, meas: np.ndarray):
+        l = self.num_loops
+        if l >= self.cfg.max_loop_edges:
+            raise RuntimeError("loop edge capacity exceeded; raise max_loop_edges")
+        self.g = self.g._replace(
+            loop_i=self.g.loop_i.at[l].set(i),
+            loop_j=self.g.loop_j.at[l].set(j),
+            loop_meas=self.g.loop_meas.at[l].set(jnp.asarray(meas)),
+            loop_valid=self.g.loop_valid.at[l].set(True),
+        )
+        self.num_loops = l + 1
+
+    def add_gps(self, node: int, xyz: np.ndarray):
+        self.g = self.g._replace(
+            gps_meas=self.g.gps_meas.at[node].set(jnp.asarray(xyz)),
+            gps_valid=self.g.gps_valid.at[node].set(True),
+        )
+
+    def optimize(self):
+        self.g = self._solve(self.g)
+
+    def poses(self) -> np.ndarray:
+        return np.asarray(self.g.poses[: self.num_nodes])

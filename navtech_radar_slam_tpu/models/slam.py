@@ -1,0 +1,295 @@
+"""The full SLAM engine: odometry + keyframing + place recognition + loop
+verification + pose-graph optimization + map output.
+
+This is the TPU-native equivalent of the reference's *entire system* — the
+orora front-end process plus the five-thread alaserPGO back-end
+(laserPosegraphOptimization.cpp:706-712) — re-architected as deterministic
+functional stages over device-resident, statically-shaped state:
+
+  reference                               here
+  ---------------------------------------------------------------------
+  orora node (file loop, ROS pub)         RadarOdometry jitted step
+  process_pg thread + mBuf queues         SlamEngine.process() host loop
+  keyframe gate (455-470)                 same gate, same semantics
+  SCManager bank + KD-tree                descriptor bank array + batched
+                                          correlation (ops/scancontext.py)
+  process_lcd thread (1 Hz)               loop detect every N keyframes
+  process_icp thread + scLoopICPBuf       immediate ICP verify (no queue)
+  iSAM2 runISAM2opt per keyframe          warm-started robust GN re-solve
+  pubMap/pubPath threads                  trajectory()/aggregate_map()
+
+Divergence note (SURVEY §7 "hard parts"): the reference's loop factors
+arrive asynchronously from a 1 Hz thread; here loop detection runs at a
+deterministic keyframe cadence, which can shift individual loop indices by
+a frame or two.  The trajectory-level behavior (ATE) is equivalent and the
+determinism makes runs exactly reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navtech_radar_slam_tpu.config import SlamConfig
+from navtech_radar_slam_tpu.models import posegraph as pg
+from navtech_radar_slam_tpu.models.odometry import RadarOdometry, ScanFeatures
+from navtech_radar_slam_tpu.ops import icp as icp_ops
+from navtech_radar_slam_tpu.ops import scancontext as sc_ops
+from navtech_radar_slam_tpu.utils import geometry as geo
+
+
+class LoopEvent(NamedTuple):
+    """Record of one accepted loop closure (for logs/tests)."""
+
+    prev_idx: int
+    curr_idx: int
+    sc_dist: float
+    icp_fitness: float
+    rel_pose: np.ndarray
+
+
+def _build_submap(
+    clouds: jnp.ndarray,
+    clouds_valid: jnp.ndarray,
+    poses_se2: jnp.ndarray,
+    center: jnp.ndarray,
+    num_kf: jnp.ndarray,
+    half: int,
+    max_pts: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stack keyframes center±half into the center keyframe's *updated* pose
+    frame (loopFindNearKeyframesCloud, laserPosegraphOptimization.cpp:330-352
+    — root_idx semantics at line 341), then pack to max_pts points.
+
+    The reference voxel-downsamples the stacked submap at 0.4 m (347-351);
+    radar feature clouds are already sparse, so packing the valid points to a
+    fixed budget replaces voxelization (documented divergence)."""
+    W = 2 * half + 1
+    idx = center + jnp.arange(-half, half + 1)
+    ok = (idx >= 0) & (idx < num_kf)
+    idxc = jnp.clip(idx, 0, clouds.shape[0] - 1)
+    c = clouds[idxc]                               # (W, K, 2)
+    v = clouds_valid[idxc] & ok[:, None]           # (W, K)
+    rel = geo.se2_between(
+        jnp.broadcast_to(poses_se2[center], (W, 3)), poses_se2[idxc]
+    )                                              # (W, 3)
+    pts = jax.vmap(geo.se2_apply)(rel, c)          # (W, K, 2)
+    flat = pts.reshape(-1, 2)
+    vflat = v.reshape(-1)
+    order = jnp.argsort(~vflat, stable=True)       # valid points first
+    take = order[:max_pts]
+    return flat[take], vflat[take]
+
+
+def _make_loop_pipeline(cfg: SlamConfig):
+    """Jitted: (bank, ring keys, clouds, poses, query cloud, query desc,
+    num_kf) -> (LoopCandidate, IcpResult, rel SE(2))."""
+
+    def fn(bank_desc, clouds, clouds_valid, poses_se2, q_xy, q_valid,
+           q_desc, num_kf):
+        cand = sc_ops.detect_loop(q_desc, bank_desc, num_kf, cfg.scancontext)
+        center = jnp.maximum(cand.idx, 0)
+        tgt, tgt_valid = _build_submap(
+            clouds, clouds_valid, poses_se2, center, num_kf,
+            cfg.icp.submap_half_size, cfg.icp.max_target_points,
+        )
+        # ICP aligns the query cloud into the candidate keyframe's frame.
+        # Init from the ScanContext yaw (the reference discards it; we use
+        # it — see ops/icp.py docstring).  SC yaw is "query rotated by yaw
+        # relative to match", so the query->match transform starts at -yaw.
+        init = jnp.where(
+            jnp.asarray(cfg.icp.use_yaw_init),
+            jnp.stack([0.0, 0.0, -cand.yaw]),
+            jnp.zeros(3),
+        )
+        res = icp_ops.icp_se2(q_xy, q_valid, tgt, tgt_valid, init, cfg.icp)
+        return cand, res
+
+    return jax.jit(fn)
+
+
+class SlamEngine:
+    """Host orchestrator; all per-scan compute is jitted device code."""
+
+    def __init__(self, cfg: Optional[SlamConfig] = None):
+        self.cfg = cfg or SlamConfig()
+        c = self.cfg
+        self.odometry = RadarOdometry(c)
+
+        K = c.features.max_features
+        M = c.keyframes.max_keyframes
+        R, S = c.scancontext.num_ring, c.scancontext.num_sector
+        self.clouds = jnp.zeros((M, K, 2), jnp.float32)
+        self.clouds_valid = jnp.zeros((M, K), bool)
+        self.bank = jnp.zeros((M, R, S), jnp.float32)
+        self.ring_keys = jnp.zeros((M, R), jnp.float32)
+        self.kf_times: List[float] = []
+
+        self.graph = pg.PoseGraph(c.pgo)
+        # fast per-keyframe refinement vs full solve after new loops:
+        # the iSAM2-like warm-started pattern
+        fast_cfg = dataclasses.replace(c.pgo, gn_iters=2)
+        self._solve_fast = pg.make_solver(fast_cfg)
+        self._solve_full = pg.make_solver(c.pgo)
+        self._loop_pipeline = _make_loop_pipeline(c)
+        self._make_desc = jax.jit(
+            lambda xy, valid: sc_ops.make_scancontext(
+                xy, jnp.zeros(xy.shape[0]), valid, c.scancontext
+            )
+        )
+
+        self.num_keyframes = 0
+        self.movement_accum = 1e6      # first frame is always a keyframe
+        # (laserPosegraphOptimization.cpp:63)
+        self.last_kf_pose = np.zeros(3)
+        self.loops: List[LoopEvent] = []
+        self.num_scans = 0
+        self._kf_pending_since_loop = 0
+        self._pending_gps: Optional[np.ndarray] = None
+
+    # -- per-scan entry -----------------------------------------------------
+
+    def add_gps(self, xyz: np.ndarray):
+        """Associate a GPS fix with the next keyframe (the reference matches
+        GPS to odometry within 0.1 s, laserPosegraphOptimization.cpp:439-451;
+        time alignment is the caller's/dataset's concern here)."""
+        self._pending_gps = np.asarray(xyz, np.float64)
+
+    def process(self, power, azimuths=None, timestamp: float = 0.0) -> np.ndarray:
+        """Feed one polar scan; returns the current optimized pose [x,y,th]."""
+        c = self.cfg
+        pose, feats = self.odometry.process(power, azimuths)
+        self.num_scans += 1
+
+        if self.num_scans == 1:
+            self._add_keyframe(pose, feats, timestamp)
+            return self.current_pose()
+
+        # keyframe gate: accumulated translation (cpp:455-470)
+        rel = np.asarray(self.odometry.last_result.rel_pose)
+        self.movement_accum += float(np.hypot(rel[0], rel[1]))
+        if self.movement_accum > c.keyframes.keyframe_meter_gap:
+            self._add_keyframe(pose, feats, timestamp)
+            self.movement_accum = 0.0
+        return self.current_pose()
+
+    # -- keyframe path ------------------------------------------------------
+
+    def _add_keyframe(self, odo_pose: np.ndarray, feats: ScanFeatures,
+                      timestamp: float):
+        c = self.cfg
+        k = self.num_keyframes
+        if k >= c.keyframes.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded; raise max_keyframes")
+
+        self.clouds = self.clouds.at[k].set(feats.xy)
+        self.clouds_valid = self.clouds_valid.at[k].set(feats.valid)
+        desc = self._make_desc(feats.xy, feats.valid)
+        self.bank = self.bank.at[k].set(desc)
+        self.ring_keys = self.ring_keys.at[k].set(sc_ops.ring_key(desc))
+        self.kf_times.append(timestamp)
+
+        # graph node + odometry factor between consecutive keyframes
+        pose_se3 = np.asarray(geo.se2_to_se3(jnp.asarray(odo_pose, jnp.float32)))
+        if k == 0:
+            self.graph.add_node(pose_se3)
+        else:
+            prev = jnp.asarray(self.last_kf_pose, jnp.float32)
+            curr = jnp.asarray(odo_pose, jnp.float32)
+            meas = np.asarray(geo.se2_to_se3(geo.se2_between(prev, curr)))
+            # initialize the new node from the *optimized* previous pose
+            # composed with the odometry increment (iSAM2 init semantics,
+            # cpp:497-524)
+            prev_opt = self.graph.poses()[k - 1]
+            init = prev_opt @ meas
+            self.graph.add_node(init, odom_meas=meas)
+        self.last_kf_pose = odo_pose.copy()
+        if self._pending_gps is not None and c.pgo.use_gps:
+            self.graph.add_gps(k, self._pending_gps)
+            self._pending_gps = None
+        self.num_keyframes = k + 1
+
+        if c.do_slam:
+            self._maybe_close_loop(k, feats, desc)
+
+    def _maybe_close_loop(self, k: int, feats: ScanFeatures, desc):
+        c = self.cfg
+        if (k + 1) % c.scancontext.detect_every_n_keyframes != 0:
+            self._refine_graph(full=False)
+            return
+        if k + 1 <= c.scancontext.num_exclude_recent:
+            return
+
+        poses_se2 = jnp.asarray(
+            geo.se3_to_se2(jnp.asarray(self.graph.g.poses)), jnp.float32
+        )
+        cand, res = self._loop_pipeline(
+            self.bank, self.clouds, self.clouds_valid, poses_se2,
+            feats.xy, feats.valid, desc, jnp.asarray(k + 1, jnp.int32),
+        )
+        if bool(cand.found) and bool(res.accepted):
+            prev_idx = int(cand.idx)
+            rel2 = np.asarray(res.rel_pose)
+            meas = np.asarray(geo.se2_to_se3(jnp.asarray(rel2, jnp.float32)))
+            self.graph.add_loop(prev_idx, k, meas)
+            self.loops.append(
+                LoopEvent(prev_idx, k, float(cand.dist), float(res.fitness), rel2)
+            )
+            self._refine_graph(full=True)
+        else:
+            self._refine_graph(full=False)
+
+    def _refine_graph(self, full: bool):
+        # odometry-only graphs are already at their optimum (the chain);
+        # skip the solve until the first loop factor exists
+        if self.graph.num_loops == 0:
+            return
+        solver = self._solve_full if full else self._solve_fast
+        self.graph.g = solver(self.graph.g)
+
+    # -- outputs ------------------------------------------------------------
+
+    def current_pose(self) -> np.ndarray:
+        """Latest keyframe's optimized pose [x, y, theta]."""
+        if self.num_keyframes == 0:
+            return np.zeros(3)
+        T = self.graph.poses()[self.num_keyframes - 1]
+        return np.asarray(geo.se3_to_se2(jnp.asarray(T)))
+
+    def trajectory(self) -> np.ndarray:
+        """(N_kf, 4, 4) optimized keyframe poses (the /aft_pgo_path output,
+        laserPosegraphOptimization.cpp:620-630)."""
+        return self.graph.poses()
+
+    def aggregate_map(self, voxel: Optional[float] = None,
+                      stride: Optional[int] = None) -> np.ndarray:
+        """Aggregated global feature map (the /aft_pgo_map output,
+        cpp:632-668): every `stride`-th keyframe cloud transformed by its
+        optimized pose, voxel-deduplicated at `voxel` meters."""
+        c = self.cfg
+        voxel = voxel if voxel is not None else c.map.map_voxel_size
+        stride = stride if stride is not None else c.map.keyframe_stride
+        if self.num_keyframes == 0:
+            return np.zeros((0, 2))
+        poses = self.trajectory()
+        pts_out = []
+        clouds = np.asarray(self.clouds[: self.num_keyframes])
+        valids = np.asarray(self.clouds_valid[: self.num_keyframes])
+        for k in range(0, self.num_keyframes, stride):
+            se2 = np.asarray(geo.se3_to_se2(jnp.asarray(poses[k])))
+            p = np.asarray(
+                geo.se2_apply(jnp.asarray(se2, jnp.float32),
+                              jnp.asarray(clouds[k]))
+            )[valids[k]]
+            pts_out.append(p)
+        pts = np.concatenate(pts_out, axis=0)
+        if voxel > 0 and len(pts):
+            keys = np.floor(pts / voxel).astype(np.int64)
+            _, uniq = np.unique(keys, axis=0, return_index=True)
+            pts = pts[np.sort(uniq)]
+        return pts

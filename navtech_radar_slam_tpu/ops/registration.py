@@ -318,5 +318,5 @@ def register_scans(matches: MatchSet, cfg: RegistrationConfig) -> RegistrationRe
         inlier_mask=inlier_mask,
         num_inliers=n_inl.astype(jnp.int32),
         mean_residual=mean_res,
-        ok=n_inl >= 8,
+        ok=n_inl >= cfg.min_inliers,
     )

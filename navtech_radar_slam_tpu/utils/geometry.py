@@ -125,7 +125,9 @@ def so3_exp(w):
 def so3_log(R):
     """Log map SO(3) -> R^3, robust near 0 and pi."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # clip strictly inside (-1, 1): arccos' is infinite at the endpoints and
+    # the GN solver differentiates through this log (autodiff safety)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     # vee of (R - R^T)/2
     v = jnp.stack(

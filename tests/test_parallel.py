@@ -1,0 +1,109 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navtech_radar_slam_tpu.config import PgoConfig, ScanContextConfig
+from navtech_radar_slam_tpu.models import posegraph as pg
+from navtech_radar_slam_tpu.ops import scancontext as sc
+from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
+from navtech_radar_slam_tpu.parallel.dist_pgo import make_distributed_solver
+from navtech_radar_slam_tpu.parallel.sharded_bank import make_sharded_loop_detector
+from navtech_radar_slam_tpu.utils import geometry as geo
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+SC_CFG = ScanContextConfig()
+
+
+def random_cloud(seed, n=300):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(5.0, 75.0, size=n)
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    return jnp.asarray(
+        np.stack([r * np.cos(th), r * np.sin(th)], -1), jnp.float32
+    )
+
+
+def desc_of(xy):
+    return sc.make_scancontext(xy, jnp.zeros(xy.shape[0]), jnp.ones(xy.shape[0], bool), SC_CFG)
+
+
+def test_sharded_bank_matches_single_device():
+    m = mesh_mod.make_mesh(8)
+    N = 64
+    bank = np.zeros((N, SC_CFG.num_ring, SC_CFG.num_sector), np.float32)
+    descs = [desc_of(random_cloud(i)) for i in range(48)]
+    for i, d in enumerate(descs):
+        bank[i] = np.asarray(d)
+    # query revisits scene 7, rotated
+    xy = random_cloud(7)
+    c, s = np.cos(0.5), np.sin(0.5)
+    R = np.asarray([[c, -s], [s, c]], np.float32)
+    query = desc_of(jnp.asarray(np.asarray(xy) @ R.T))
+
+    bank_j = jax.device_put(jnp.asarray(bank), mesh_mod.bank_sharding(m))
+    detect = make_sharded_loop_detector(m, SC_CFG)
+    res = detect(query, bank_j, jnp.asarray(48))
+
+    ref = sc.detect_loop(query, jnp.asarray(bank), jnp.asarray(48), SC_CFG)
+    assert bool(res.found) == bool(ref.found)
+    assert int(res.idx) == int(ref.idx) == 7
+    np.testing.assert_allclose(float(res.dist), float(ref.dist), atol=1e-5)
+    np.testing.assert_allclose(float(res.yaw), float(ref.yaw), atol=1e-6)
+
+
+def test_distributed_pgo_matches_single_device(rng):
+    cfg = dataclasses.replace(
+        PgoConfig(), max_nodes=64, max_loop_edges=8, gn_iters=6, cg_iters=80,
+        odom_sigma_rot=0.01, odom_sigma_trans=0.05,
+    )
+    graph = pg.PoseGraph(cfg)
+    pose = np.eye(4, dtype=np.float32)
+    graph.add_node(pose)
+    gt = [pose]
+    for k in range(1, 40):
+        gt.append(gt[-1] @ np.asarray(geo.se2_to_se3(jnp.asarray([1.0, 0, 0], jnp.float32))))
+        meas = np.asarray(
+            geo.se2_to_se3(
+                jnp.asarray(
+                    [1.0 + rng.normal(0, 0.05), rng.normal(0, 0.05),
+                     rng.normal(0, 0.01)],
+                    jnp.float32,
+                )
+            )
+        )
+        pose = pose @ meas
+        graph.add_node(pose, odom_meas=meas)
+    for j in (16, 32, 39):
+        graph.add_loop(0, j, np.asarray(geo.se3_between(jnp.asarray(gt[0]), jnp.asarray(gt[j]))))
+
+    # single-device reference
+    ref = pg.make_solver(cfg)(graph.g)
+
+    # distributed
+    m = mesh_mod.make_mesh(8)
+    solver = make_distributed_solver(m, cfg)
+    g = graph.g
+    sharded = g._replace(
+        odom_meas=jax.device_put(g.odom_meas, mesh_mod.bank_sharding(m)),
+        odom_valid=jax.device_put(g.odom_valid, mesh_mod.bank_sharding(m)),
+        gps_meas=jax.device_put(g.gps_meas, mesh_mod.bank_sharding(m)),
+        gps_valid=jax.device_put(g.gps_valid, mesh_mod.bank_sharding(m)),
+    )
+    poses_dist = solver(sharded)
+
+    n = graph.num_nodes
+    t_ref = np.asarray(ref.poses[:n, :3, 3])
+    t_dist = np.asarray(poses_dist[:n, :3, 3])
+    np.testing.assert_allclose(t_dist, t_ref, atol=5e-2)
+    # both must beat the unoptimized chain
+    t0 = np.asarray(graph.g.poses[:n, :3, 3])
+    gt_t = np.stack([g_[:3, 3] for g_ in gt])
+    assert np.linalg.norm(t_dist - gt_t, axis=1).mean() < np.linalg.norm(
+        t0 - gt_t, axis=1
+    ).mean()

@@ -1,0 +1,90 @@
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from navtech_radar_slam_tpu.config import SlamConfig
+from navtech_radar_slam_tpu.data import RadarSimulator
+from navtech_radar_slam_tpu.models.slam import SlamEngine
+from navtech_radar_slam_tpu.utils import geometry as geo
+
+
+def small_cfg():
+    c = SlamConfig()
+    return dataclasses.replace(
+        c,
+        features=dataclasses.replace(
+            c.features, max_features=512, max_matches=256, cart_size=256,
+            cart_resolution=1.0,  # ±128 m window at 256 px
+        ),
+        registration=dataclasses.replace(c.registration, spectral_top_k=256),
+        keyframes=dataclasses.replace(c.keyframes, max_keyframes=96),
+        scancontext=dataclasses.replace(c.scancontext, num_exclude_recent=20),
+        icp=dataclasses.replace(
+            c.icp, submap_half_size=5, max_query_points=256,
+            max_target_points=2048, max_iters=50,
+            # the reference's 0.3 m² gate assumes lidar-grade points; the
+            # simulator's radar features carry ~1 m tangential noise at range
+            fitness_thresh=2.0,
+        ),
+        pgo=dataclasses.replace(
+            c.pgo, max_nodes=96, max_loop_edges=16, max_gps_factors=96,
+            gn_iters=6, cg_iters=50,
+            odom_sigma_rot=0.005, odom_sigma_trans=0.05,
+        ),
+    )
+
+
+def run_circuit(n_scans=50, radius=10.0, speed=6.0):
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(n_scans, radius=radius, speed=speed)
+    eng = SlamEngine(cfg)
+    for i in range(n_scans):
+        eng.process(sim.render(gt[i], noise_seed=i), timestamp=i * 0.25)
+    # express ground truth relative to the start pose (engine starts at origin)
+    g0 = jnp.asarray(gt[0], jnp.float32)
+    gt_rel = np.asarray(
+        jnp.stack([geo.se2_between(g0, jnp.asarray(g, jnp.float32)) for g in gt])
+    )
+    return eng, gt_rel
+
+
+def test_full_slam_circuit():
+    """Full loop around a circuit: a loop closure must fire and the
+    optimized trajectory must beat or match pure odometry near the closure."""
+    eng, gt_rel = run_circuit()
+    assert eng.num_keyframes >= 45  # 1.5 m / frame >> 0.2 m gap: every frame
+    assert len(eng.loops) >= 1, "no loop closures detected on a closed circuit"
+    ev = eng.loops[0]
+    # the loop must connect the end of the lap back to its start
+    assert ev.curr_idx - ev.prev_idx > 25
+    assert ev.icp_fitness <= eng.cfg.icp.fitness_thresh
+
+    traj = eng.trajectory()
+    est_xy = np.asarray([t[:2, 3] for t in traj])
+    n = min(len(est_xy), len(gt_rel))
+    ate = np.sqrt(((est_xy[:n] - gt_rel[:n, :2]) ** 2).sum(-1).mean())
+    path = np.sum(np.linalg.norm(np.diff(gt_rel[:n, :2], axis=0), axis=1))
+    assert ate < 0.05 * path, f"ATE {ate:.2f} m over {path:.1f} m"
+
+
+def test_no_slam_mode_is_odometry_only():
+    cfg = dataclasses.replace(small_cfg(), do_slam=False)
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(8, radius=10.0, speed=6.0)
+    eng = SlamEngine(cfg)
+    for i in range(len(gt)):
+        eng.process(sim.render(gt[i], noise_seed=i))
+    assert len(eng.loops) == 0
+    assert eng.num_keyframes >= 7
+
+
+def test_map_output():
+    eng, _ = run_circuit(n_scans=12)
+    m = eng.aggregate_map(voxel=0.5, stride=2)
+    assert m.ndim == 2 and m.shape[1] == 2
+    assert len(m) > 100
+    # voxel dedup: no two points within ~the voxel in the same cell
+    keys = np.floor(m / 0.5).astype(np.int64)
+    assert len(np.unique(keys, axis=0)) == len(keys)
