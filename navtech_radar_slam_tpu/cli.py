@@ -1,0 +1,202 @@
+"""Command-line entry point mirroring the reference's launch contract.
+
+Reference (launch/navtech_radar_slam_mulran.launch:1-11 +
+pgo/SC-A-LOAM/launch/sc_pgo.launch:1-11):
+
+    roslaunch navtech_radar_slam navtech_radar_slam_mulran.launch \
+        seq_dir:=<MulRan sequence> do_slam:=true
+    params: keyframe_meter_gap=0.2, sc_dist_thres=0.45
+
+Here:
+
+    python -m navtech_radar_slam_tpu.cli --seq_dir <dir> [--do_slam true]
+        [--keyframe_meter_gap 0.2] [--sc_dist_thres 0.45] ...
+
+plus what the reference never shipped (README.md:136-142 TODOs): trajectory
+and map export, checkpoint/resume, quantitative run statistics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def _bool(s: str) -> bool:
+    return str(s).lower() in ("1", "true", "yes", "on")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="navtech_radar_slam_tpu",
+        description="TPU-native radar SLAM on MulRan-format sequences",
+    )
+    p.add_argument("--seq_dir", required=True,
+                   help="sequence directory (MulRan layout or a dir of polar PNGs)")
+    p.add_argument("--do_slam", type=_bool, default=True,
+                   help="enable loop closure + PGO (launch arg do_slam)")
+    p.add_argument("--keyframe_meter_gap", type=float, default=None,
+                   help="keyframe translation gate (sc_pgo.launch:3)")
+    p.add_argument("--sc_dist_thres", type=float, default=None,
+                   help="ScanContext loop threshold (sc_pgo.launch:4)")
+    p.add_argument("--config", default=None, help="JSON config file (SlamConfig)")
+    p.add_argument("--max_scans", type=int, default=0, help="0 = all")
+    p.add_argument("--output_dir", default="slam_output")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="save engine checkpoint every N scans (0 = off)")
+    p.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p.add_argument("--use_gps", type=_bool, default=False)
+    p.add_argument("--no_native_loader", action="store_true",
+                   help="force the NumPy decoder instead of the C++ runtime")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace here")
+    p.add_argument("--status_every", type=int, default=50)
+    return p
+
+
+def make_config(args):
+    from navtech_radar_slam_tpu.config import SlamConfig
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = SlamConfig.from_json(f.read())
+    else:
+        cfg = SlamConfig()
+    if args.keyframe_meter_gap is not None:
+        cfg = cfg.replace(
+            keyframes=dataclasses.replace(
+                cfg.keyframes, keyframe_meter_gap=args.keyframe_meter_gap
+            )
+        )
+    if args.sc_dist_thres is not None:
+        cfg = cfg.replace(
+            scancontext=dataclasses.replace(
+                cfg.scancontext, sc_dist_thres=args.sc_dist_thres
+            )
+        )
+    cfg = cfg.replace(do_slam=args.do_slam)
+    if args.use_gps:
+        cfg = cfg.replace(pgo=dataclasses.replace(cfg.pgo, use_gps=True))
+    return cfg
+
+
+def scan_stream(args, cfg):
+    """Yields (power, azimuths, timestamp); prefers the native C++ loader."""
+    from navtech_radar_slam_tpu.data.mulran import MulranRadarDataset
+
+    ds = MulranRadarDataset(args.seq_dir, cfg.radar)
+    n = len(ds) if args.max_scans <= 0 else min(len(ds), args.max_scans)
+
+    if not args.no_native_loader:
+        try:
+            from navtech_radar_slam_tpu.runtime import (
+                NativeRadarLoader, native_available,
+            )
+
+            if native_available():
+                paths = [
+                    os.path.join(ds.scan_dir, f) for f in ds.scan_files[:n]
+                ]
+                loader = NativeRadarLoader(paths, cfg.radar)
+
+                def gen_native():
+                    for i, (power, ts, az, valid) in enumerate(loader):
+                        yield power, az, ds.timestamp(i)
+
+                return gen_native(), n, "native"
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"native loader unavailable ({e}); falling back", file=sys.stderr)
+
+    def gen_py():
+        for i in range(n):
+            s = ds[i]
+            yield s.power, s.azimuths, s.timestamp
+
+    return gen_py(), n, "python"
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    try:  # persistent compile cache: first-run jits dominate cold starts
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+    import numpy as np
+
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+    from navtech_radar_slam_tpu.utils import checkpoint as ckpt
+    from navtech_radar_slam_tpu.utils import metrics, profiling
+    from navtech_radar_slam_tpu.data.mulran import save_trajectory_tum
+
+    cfg = make_config(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.resume:
+        print(f"resuming from {args.resume}")
+        eng = ckpt.load_engine(args.resume)
+        start_scan = eng.num_scans
+    else:
+        eng = SlamEngine(cfg)
+        start_scan = 0
+
+    stream, total, loader_kind = scan_stream(args, cfg)
+    print(f"sequence: {args.seq_dir} ({total} scans, {loader_kind} loader, "
+          f"do_slam={cfg.do_slam})")
+
+    timers = profiling.StageTimers()
+    t0 = time.time()
+    processed = 0
+    with profiling.device_trace(args.profile_dir):
+        for i, (power, azimuths, ts) in enumerate(stream):
+            if i < start_scan:
+                continue
+            with timers.time("slam_step"):
+                eng.process(power, azimuths, timestamp=ts)
+            processed += 1
+            if args.status_every and processed % args.status_every == 0:
+                pose = eng.current_pose()
+                print(
+                    f"[{i + 1}/{total}] kf={eng.num_keyframes} "
+                    f"loops={len(eng.loops)} pose=({pose[0]:.1f}, {pose[1]:.1f}, "
+                    f"{pose[2]:.2f}) {processed / (time.time() - t0):.2f} scans/s"
+                )
+            if args.checkpoint_every and processed % args.checkpoint_every == 0:
+                path = os.path.join(args.output_dir, "checkpoint.npz")
+                ckpt.save_engine(eng, path)
+
+    wall = time.time() - t0
+    stats = metrics.RunStats(
+        num_scans=eng.num_scans,
+        num_keyframes=eng.num_keyframes,
+        num_loops=len(eng.loops),
+        odometry_failures=eng.odometry.num_failures,
+        frames_per_sec=processed / wall if wall > 0 else None,
+    )
+    print("run:", stats.summary())
+    print(timers.report())
+
+    traj = eng.trajectory()
+    traj_path = os.path.join(args.output_dir, "trajectory_tum.txt")
+    save_trajectory_tum(traj_path, eng.kf_times, traj)
+    map_pts = eng.aggregate_map()
+    map_path = os.path.join(args.output_dir, "map_points.csv")
+    np.savetxt(map_path, map_pts, delimiter=",", header="x,y", comments="")
+    ckpt.save_engine(eng, os.path.join(args.output_dir, "final.npz"))
+    with open(os.path.join(args.output_dir, "stats.json"), "w") as f:
+        json.dump(dataclasses.asdict(stats), f, indent=2)
+    print(f"wrote {traj_path}, {map_path}, final.npz")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

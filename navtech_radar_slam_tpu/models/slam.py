@@ -169,6 +169,10 @@ class SlamEngine:
         if self.num_scans == 1:
             self._add_keyframe(pose, feats, timestamp)
             return self.current_pose()
+        if self.odometry.last_result is None:
+            # first scan after a checkpoint resume: odometry carry was just
+            # re-seeded, no relative motion available yet
+            return self.current_pose()
 
         # keyframe gate: accumulated translation (cpp:455-470)
         rel = np.asarray(self.odometry.last_result.rel_pose)

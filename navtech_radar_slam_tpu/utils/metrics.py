@@ -1,0 +1,81 @@
+"""Trajectory evaluation (ATE / RTE) and run statistics.
+
+The reference validates only visually (SURVEY §4/§6); these are the
+quantitative metrics BASELINE.md requires: ATE RMSE against a reference
+trajectory (with SE(2) alignment), relative translational error, loop
+recall accounting."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def align_se2(est_xy: np.ndarray, ref_xy: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Umeyama-style rigid SE(2) alignment of est onto ref (no scale).
+    Returns (R (2,2), t (2,))."""
+    ce = est_xy.mean(0)
+    cr = ref_xy.mean(0)
+    H = (est_xy - ce).T @ (ref_xy - cr)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ D @ U.T
+    t = cr - R @ ce
+    return R, t
+
+
+def ate_rmse(est_xy: np.ndarray, ref_xy: np.ndarray, align: bool = True) -> float:
+    """ATE RMSE (m) between matched xy trajectories."""
+    est_xy = np.asarray(est_xy, np.float64)
+    ref_xy = np.asarray(ref_xy, np.float64)
+    n = min(len(est_xy), len(ref_xy))
+    est_xy, ref_xy = est_xy[:n], ref_xy[:n]
+    if align and n >= 2:
+        R, t = align_se2(est_xy, ref_xy)
+        est_xy = est_xy @ R.T + t
+    return float(np.sqrt(((est_xy - ref_xy) ** 2).sum(-1).mean()))
+
+
+def rte(est_xy: np.ndarray, ref_xy: np.ndarray, delta: int = 10) -> float:
+    """Mean relative translational error over windows of `delta` poses."""
+    est_xy = np.asarray(est_xy, np.float64)
+    ref_xy = np.asarray(ref_xy, np.float64)
+    n = min(len(est_xy), len(ref_xy))
+    if n <= delta:
+        return float("nan")
+    de = est_xy[delta:n] - est_xy[: n - delta]
+    dr = ref_xy[delta:n] - ref_xy[: n - delta]
+    return float(np.linalg.norm(de - dr, axis=1).mean())
+
+
+def path_length(xy: np.ndarray) -> float:
+    xy = np.asarray(xy, np.float64)
+    return float(np.sum(np.linalg.norm(np.diff(xy, axis=0), axis=1)))
+
+
+@dataclass
+class RunStats:
+    num_scans: int = 0
+    num_keyframes: int = 0
+    num_loops: int = 0
+    odometry_failures: int = 0
+    ate_rmse: Optional[float] = None
+    rte: Optional[float] = None
+    frames_per_sec: Optional[float] = None
+
+    def summary(self) -> str:
+        parts = [
+            f"scans={self.num_scans}",
+            f"keyframes={self.num_keyframes}",
+            f"loops={self.num_loops}",
+            f"odom_failures={self.odometry_failures}",
+        ]
+        if self.ate_rmse is not None:
+            parts.append(f"ATE={self.ate_rmse:.3f}m")
+        if self.rte is not None:
+            parts.append(f"RTE={self.rte:.3f}m")
+        if self.frames_per_sec is not None:
+            parts.append(f"{self.frames_per_sec:.2f} scans/s")
+        return " ".join(parts)

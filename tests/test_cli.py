@@ -1,0 +1,124 @@
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from navtech_radar_slam_tpu.config import SlamConfig
+from navtech_radar_slam_tpu.data import RadarSimulator
+
+
+def write_sequence(tmp_path, n_scans=8, speed=6.0, radius=10.0):
+    """Render a synthetic circuit into MulRan-format PNGs."""
+    import cv2
+
+    cfg = SlamConfig()
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(n_scans, radius=radius, speed=speed)
+    seq = tmp_path / "polar_oxford_form"
+    seq.mkdir()
+    rc = cfg.radar
+    for i in range(n_scans):
+        scan = sim.render(gt[i], noise_seed=i)
+        img = np.zeros((rc.num_azimuths, rc.meta_columns + rc.num_range_bins), np.uint8)
+        img[:, rc.meta_columns:] = (scan[:, : rc.num_range_bins] * 255).astype(np.uint8)
+        stamp = np.int64(1_600_000_000_000_000 + i * 250_000)
+        for a in range(rc.num_azimuths):
+            img[a, :8] = np.frombuffer(
+                np.int64(stamp + a * 100).astype("<i8").tobytes(), np.uint8
+            )
+            img[a, 8:10] = np.frombuffer(
+                np.uint16(int(a / rc.num_azimuths * 5600)).astype("<u2").tobytes(),
+                np.uint8,
+            )
+            img[a, 10] = 255
+        cv2.imwrite(str(seq / f"{int(stamp)}.png"), img)
+    return tmp_path, gt
+
+
+def small_config_file(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam import small_cfg
+
+    cfg = small_cfg()
+    path = tmp_path / "config.json"
+    path.write_text(cfg.to_json())
+    return str(path)
+
+
+def test_cli_end_to_end(tmp_path):
+    from navtech_radar_slam_tpu import cli
+
+    seq_dir, gt = write_sequence(tmp_path, n_scans=6)
+    cfg_path = small_config_file(tmp_path)
+    out = tmp_path / "out"
+    rc = cli.main([
+        "--seq_dir", str(seq_dir),
+        "--config", cfg_path,
+        "--output_dir", str(out),
+        "--status_every", "2",
+    ])
+    assert rc == 0
+    assert (out / "trajectory_tum.txt").exists()
+    assert (out / "map_points.csv").exists()
+    assert (out / "final.npz").exists()
+    traj = np.loadtxt(out / "trajectory_tum.txt")
+    assert traj.shape[1] == 8 and len(traj) >= 5
+    # timestamps carried from filenames
+    assert abs(traj[0, 0] - 1_600_000_000.0) < 1e3  # us scale -> seconds
+
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["num_scans"] == 6
+    assert stats["odometry_failures"] == 0
+
+
+def test_cli_resume(tmp_path):
+    from navtech_radar_slam_tpu import cli
+    from navtech_radar_slam_tpu.utils import checkpoint as ckpt
+
+    seq_dir, gt = write_sequence(tmp_path, n_scans=6)
+    cfg_path = small_config_file(tmp_path)
+    out1 = tmp_path / "out1"
+    cli.main([
+        "--seq_dir", str(seq_dir), "--config", cfg_path,
+        "--output_dir", str(out1), "--max_scans", "3",
+    ])
+    eng1 = ckpt.load_engine(str(out1 / "final.npz"))
+    assert eng1.num_scans == 3
+
+    out2 = tmp_path / "out2"
+    cli.main([
+        "--seq_dir", str(seq_dir), "--config", cfg_path,
+        "--output_dir", str(out2),
+        "--resume", str(out1 / "final.npz"),
+    ])
+    eng2 = ckpt.load_engine(str(out2 / "final.npz"))
+    assert eng2.num_scans == 6
+    assert eng2.num_keyframes >= eng1.num_keyframes
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam import small_cfg
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+    from navtech_radar_slam_tpu.utils import checkpoint as ckpt
+
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(5, radius=10.0, speed=6.0)
+    eng = SlamEngine(cfg)
+    for i in range(5):
+        eng.process(sim.render(gt[i], noise_seed=i), timestamp=i * 0.25)
+
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_engine(eng, path)
+    eng2 = ckpt.load_engine(path)
+    assert eng2.num_keyframes == eng.num_keyframes
+    assert eng2.num_scans == eng.num_scans
+    np.testing.assert_allclose(
+        np.asarray(eng2.bank), np.asarray(eng.bank), atol=1e-6
+    )
+    np.testing.assert_allclose(eng2.trajectory(), eng.trajectory(), atol=1e-6)
+    np.testing.assert_allclose(eng2.odometry.pose, eng.odometry.pose)

@@ -1,0 +1,83 @@
+import os
+
+import numpy as np
+import pytest
+
+from navtech_radar_slam_tpu.config import RadarConfig
+from navtech_radar_slam_tpu.data.mulran import decode_polar_scan
+from navtech_radar_slam_tpu.runtime import (
+    NativeRadarLoader,
+    decode_png_native,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native loader not built"
+)
+
+CFG = RadarConfig()
+
+
+def write_mulran_png(path, rng, stamp_us=1_600_000_000_000_000):
+    """Synthesize a polar scan PNG in oxford/MulRan format (11 meta cols)."""
+    import cv2
+
+    na, nb = CFG.num_azimuths, CFG.num_range_bins
+    img = np.zeros((na, CFG.meta_columns + nb), np.uint8)
+    power = (rng.random((na, nb)) * 255).astype(np.uint8)
+    img[:, CFG.meta_columns:] = power
+    for a in range(na):
+        ts = np.int64(stamp_us + a * 100).astype("<i8")
+        img[a, :8] = np.frombuffer(ts.tobytes(), np.uint8)
+        enc = np.uint16(int(a / na * 5600)).astype("<u2")
+        img[a, 8:10] = np.frombuffer(enc.tobytes(), np.uint8)
+        img[a, 10] = 255
+    cv2.imwrite(path, img)
+    return power
+
+
+def test_native_decode_matches_python(tmp_path, rng):
+    p = str(tmp_path / "1600000000000000.png")
+    raw_power = write_mulran_png(p, rng)
+
+    power, ts, az, valid = decode_png_native(p, CFG)
+    assert power.shape == (CFG.num_azimuths, CFG.padded_range_bins)
+    np.testing.assert_allclose(
+        power[:, : CFG.num_range_bins], raw_power / 255.0, atol=1e-6
+    )
+    assert abs(ts[0] - 1_600_000_000_000_000 * 1e-6) < 1e-3
+    assert abs(ts[10] - ts[0] - 10 * 100e-6) < 1e-6
+    assert valid.all()
+
+    import cv2
+
+    img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    ref = decode_polar_scan(img, CFG, 0.0)
+    np.testing.assert_allclose(power, ref.power, atol=1e-6)
+    np.testing.assert_allclose(az, ref.azimuths, atol=1e-6)
+    np.testing.assert_allclose(ts, ref.ray_timestamps, rtol=1e-12)
+
+
+def test_prefetcher_order_and_content(tmp_path, rng):
+    paths = []
+    powers = []
+    for i in range(6):
+        p = str(tmp_path / f"{1600000000000000 + i}.png")
+        powers.append(write_mulran_png(p, rng, stamp_us=1_600_000_000_000_000 + i))
+        paths.append(p)
+
+    loader = NativeRadarLoader(paths, CFG, num_workers=2, queue_capacity=3)
+    assert len(loader) == 6
+    count = 0
+    for (power, ts, az, valid), expect in zip(loader, powers):
+        np.testing.assert_allclose(
+            power[:, : CFG.num_range_bins], expect / 255.0, atol=1e-6
+        )
+        count += 1
+    assert count == 6
+    loader.close()
+
+
+def test_native_decode_missing_file():
+    with pytest.raises(IOError):
+        decode_png_native("/nonexistent/scan.png", CFG)
