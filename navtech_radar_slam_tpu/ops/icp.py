@@ -47,6 +47,12 @@ def nearest_neighbors(
     src: jnp.ndarray, tgt: jnp.ndarray, tgt_valid: jnp.ndarray
 ):
     """Brute-force NN: returns (nn_sqdist (Nq,), nn_idx (Nq,))."""
+    from navtech_radar_slam_tpu.ops.pallas import (
+        nearest_neighbors_pallas, should_use_pallas,
+    )
+
+    if should_use_pallas():
+        return nearest_neighbors_pallas(src, tgt, tgt_valid)
     # |a - b|² = |a|² + |b|² - 2 a.b ; the cross term is an MXU matmul.
     # precision=HIGHEST is load-bearing: default TPU matmul rounds inputs to
     # bf16, and at 200 m ranges the ~0.8% error exceeds real point spacing,

@@ -93,6 +93,15 @@ def sc_distance_all_shifts(
     (1 - cosine similarity) (cpp:69-90), minimized over all S shifts
     (the reference's vkey-align + ±10% search, done exhaustively)."""
     R, S = query.shape
+    # TPU: fused Pallas kernel (ops/pallas/sc_corr.py); elsewhere XLA einsum
+    from navtech_radar_slam_tpu.ops.pallas import (
+        sc_shift_distances_pallas, should_use_pallas,
+    )
+
+    if should_use_pallas():
+        dist = sc_shift_distances_pallas(query, bank)
+        return jnp.min(dist, axis=-1), jnp.argmin(dist, axis=-1)
+
     qn, qnz = _normalize_columns(query)
     bn, bnz = _normalize_columns(bank)
 
