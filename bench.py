@@ -52,22 +52,23 @@ def main():
         lambda p, a: odo_mod.extract_scan_features(p, a, cfg)
     )
 
+    twist = jnp.zeros(3, jnp.float32)
     log("compiling...")
     t0 = time.time()
     carry = extract(scans[0], azimuths)
-    carry, res = step(scans[1], azimuths, carry)
+    carry, res, _ = step(scans[1], azimuths, carry, twist)
     res.rel_pose.block_until_ready()
     log(f"compile+first step: {time.time() - t0:.1f}s on {jax.devices()[0]}")
 
     # warm up
     for i in range(2, 5):
-        carry, res = step(scans[i % len(scans)], azimuths, carry)
+        carry, res, _ = step(scans[i % len(scans)], azimuths, carry, twist)
     res.rel_pose.block_until_ready()
 
     iters = 40
     t0 = time.time()
     for i in range(iters):
-        carry, res = step(scans[i % len(scans)], azimuths, carry)
+        carry, res, _ = step(scans[i % len(scans)], azimuths, carry, res.rel_pose)
     res.rel_pose.block_until_ready()
     dt = time.time() - t0
     fps = iters / dt

@@ -153,6 +153,22 @@ def main(argv=None) -> int:
     print(f"sequence: {args.seq_dir} ({total} scans, {loader_kind} loader, "
           f"do_slam={cfg.do_slam})")
 
+    # GPS stream (MulRan gps.csv: stamp_ns, lat, lon, alt, ...). The
+    # reference consumes /gps/fix and uses altitude only
+    # (laserPosegraphOptimization.cpp:439-451, 526-533); association window
+    # cfg.pgo.gps_time_window.
+    gps = None
+    if cfg.pgo.use_gps:
+        gps_path = os.path.join(args.seq_dir, "gps.csv")
+        if os.path.exists(gps_path):
+            import numpy as _np
+
+            raw = _np.loadtxt(gps_path, delimiter=",")
+            gps = (raw[:, 0] * 1e-9, raw[:, 3] if raw.shape[1] > 3 else raw[:, 1])
+            print(f"gps: {len(raw)} fixes from {gps_path}")
+        else:
+            print(f"gps requested but {gps_path} missing; continuing without")
+
     timers = profiling.StageTimers()
     t0 = time.time()
     processed = 0
@@ -160,6 +176,13 @@ def main(argv=None) -> int:
         for i, (power, azimuths, ts) in enumerate(stream):
             if i < start_scan:
                 continue
+            if gps is not None:
+                times, alts = gps
+                j = int(np.searchsorted(times, ts))
+                for cand in (j - 1, j):
+                    if 0 <= cand < len(times) and abs(times[cand] - ts) < cfg.pgo.gps_time_window:
+                        eng.add_gps(np.array([0.0, 0.0, float(alts[cand])]))
+                        break
             with timers.time("slam_step"):
                 eng.process(power, azimuths, timestamp=ts)
             processed += 1

@@ -82,6 +82,9 @@ class FeatureConfig:
     max_matches: int = 512
     #: Lowe-style ratio test threshold on correlation distance
     ratio_test: float = 0.95
+    #: de-skew features for platform motion during the scan sweep using the
+    #: previous frame's velocity estimate (yeti capability, README.md:100-111)
+    motion_compensation: bool = True
 
 
 @dataclass(frozen=True)

@@ -89,12 +89,42 @@ class RadarSimulator:
         vis = (rng_m > 2.0) & (rng_m < min(self.sim.max_visible_range, self.radar.max_range))
         return rng_m[vis], bearing[vis], self.reflect[vis]
 
-    def render(self, pose: np.ndarray, noise_seed: int = 0) -> np.ndarray:
-        """Render one polar power scan (num_azimuths, padded_range_bins) f32."""
+    def render(self, pose: np.ndarray, noise_seed: int = 0,
+               end_pose: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render one polar power scan (num_azimuths, padded_range_bins) f32.
+
+        If ``end_pose`` is given, the sweep is motion-distorted: the ray at
+        azimuth fraction f is rendered from the pose interpolated between
+        ``pose`` (sweep start, azimuth 0) and ``end_pose`` (sweep end) —
+        the real Navtech behaviour a moving platform induces."""
         rc, sc = self.radar, self.sim
         na, nb = rc.num_azimuths, rc.num_range_bins
         img = np.zeros((na, rc.padded_range_bins), np.float32)
-        rng_m, bearing, refl = self.visible_landmarks(pose)
+        if end_pose is None:
+            rng_m, bearing, refl = self.visible_landmarks(pose)
+        else:
+            dp = np.asarray(end_pose, np.float64) - np.asarray(pose, np.float64)
+            dp[2] = np.arctan2(np.sin(dp[2]), np.cos(dp[2]))
+            d0 = self.landmarks - np.asarray(pose)[:2]
+            r0 = np.linalg.norm(d0, axis=-1)
+            vis = (r0 > 2.0) & (
+                r0 < min(sc.max_visible_range, rc.max_range)
+            )
+            lm = self.landmarks[vis]
+            refl = self.reflect[vis]
+            bearing = np.mod(
+                np.arctan2(d0[vis, 1], d0[vis, 0]) - pose[2], 2 * np.pi
+            )
+            # fixed-point: a landmark's azimuth sets its sample time, which
+            # sets the pose it is observed from
+            for _ in range(3):
+                frac = bearing / (2 * np.pi)
+                interp = np.asarray(pose)[None, :] + frac[:, None] * dp[None, :]
+                dxy = lm - interp[:, :2]
+                rng_m = np.linalg.norm(dxy, axis=-1)
+                bearing = np.mod(
+                    np.arctan2(dxy[:, 1], dxy[:, 0]) - interp[:, 2], 2 * np.pi
+                )
 
         az_f = bearing / (2 * np.pi) * na          # fractional azimuth row
         rb_f = rng_m / rc.range_resolution          # fractional range bin

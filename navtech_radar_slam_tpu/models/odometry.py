@@ -28,13 +28,54 @@ from navtech_radar_slam_tpu.utils import geometry as geo
 
 
 class ScanFeatures(NamedTuple):
-    """Per-scan device-resident front-end state."""
+    """Per-scan device-resident front-end state.
 
-    xy: jnp.ndarray        # (K, 2) sensor-frame feature positions (m)
-    desc: jnp.ndarray      # (K, D) normalized patch descriptors
+    ``xy`` is RAW (as measured, skewed by platform motion during the sweep);
+    de-skewed views are derived per registration (deskew_features) so the
+    carry never accumulates twist-estimate errors."""
+
+    xy: jnp.ndarray        # (K, 2) sensor-frame feature positions (m), raw
+    desc: jnp.ndarray      # (K, D) normalized constellation descriptors
     power: jnp.ndarray     # (K,)
     valid: jnp.ndarray     # (K,) bool
     ranges: jnp.ndarray    # (K,) range of each feature (m)
+    ray_frac: jnp.ndarray  # (K,) sweep fraction of the feature's ray
+
+
+def motion_compensate(xy: jnp.ndarray, ray_frac: jnp.ndarray,
+                      twist: jnp.ndarray) -> jnp.ndarray:
+    """De-skew features for platform motion during the sweep (yeti
+    capability, /root/reference/README.md:100-111).
+
+    A ray sampled at sweep fraction f sees the world from the pose
+    f * twist (twist = estimated motion over one sweep, [dx, dy, dtheta]).
+    Points are re-expressed in the sweep-start frame:
+    p' = R(f*dtheta) p + f*[dx, dy]."""
+    f = ray_frac[:, None]
+    th = ray_frac * twist[2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    x, y = xy[:, 0], xy[:, 1]
+    return jnp.stack(
+        [c * x - s * y, s * x + c * y], axis=-1
+    ) + f * twist[None, :2]
+
+
+def _with_xy(feats: ScanFeatures, xy: jnp.ndarray,
+             fcfg) -> ScanFeatures:
+    """Replace positions and rebuild the (position-dependent) descriptors."""
+    desc = features.constellation_descriptors(xy, feats.power, feats.valid, fcfg)
+    return feats._replace(
+        xy=xy,
+        desc=jnp.where(feats.valid[:, None], desc, 0.0),
+        ranges=jnp.linalg.norm(xy, axis=-1),
+    )
+
+
+def deskew_features(feats: ScanFeatures, twist: jnp.ndarray,
+                    cfg: SlamConfig) -> ScanFeatures:
+    """De-skewed view of a raw feature set (descriptors rebuilt)."""
+    xy = motion_compensate(feats.xy, feats.ray_frac, twist)
+    return _with_xy(feats, xy, cfg.features)
 
 
 def extract_scan_features(power: jnp.ndarray, azimuths: jnp.ndarray,
@@ -46,12 +87,16 @@ def extract_scan_features(power: jnp.ndarray, azimuths: jnp.ndarray,
     desc = features.constellation_descriptors(
         xy, feats.power, feats.valid, cfg.features
     )
+    ray_frac = (
+        feats.azimuth_idx.astype(jnp.float32) + 0.5
+    ) / cfg.radar.num_azimuths
     return ScanFeatures(
         xy=xy,
         desc=jnp.where(feats.valid[:, None], desc, 0.0),
         power=feats.power,
         valid=feats.valid,
         ranges=jnp.linalg.norm(xy, axis=-1),
+        ray_frac=ray_frac,
     )
 
 
@@ -69,16 +114,36 @@ def odometry_step(
     power: jnp.ndarray,
     azimuths: jnp.ndarray,
     prev: ScanFeatures,
+    twist: jnp.ndarray,
     cfg: SlamConfig,
-) -> Tuple[ScanFeatures, registration.RegistrationResult]:
+) -> Tuple[ScanFeatures, registration.RegistrationResult, ScanFeatures]:
     """One front-end step: extract current scan, register against previous.
+    Returns (raw carry, result, de-skewed features for downstream use).
+
+    With motion compensation on, the yeti-style iterate runs entirely
+    inside the step: register raw/raw for a seed twist, then de-skew BOTH
+    scans with the shared (constant-velocity) twist estimate, rebuild their
+    descriptors and re-register — twice.  The carry stays RAW, so twist
+    errors never feed forward between frames.
 
     Pure function of (scan, carry) -> (carry', result); jit it once and feed
     scans — the reference's file-driven per-scan loop (SURVEY §3.5) becomes
     repeated invocation of this compiled program."""
     curr = extract_scan_features(power, azimuths, cfg)
-    result = register_feature_pair(prev, curr, cfg)
-    return curr, result
+    res = register_feature_pair(prev, curr, cfg)
+    if not cfg.features.motion_compensation:
+        return curr, res, curr
+
+    t = jnp.where(res.ok, res.rel_pose, twist)
+    curr_d = curr
+    for _ in range(2):
+        prev_d = deskew_features(prev, t, cfg)
+        curr_d = deskew_features(curr, t, cfg)
+        res = register_feature_pair(prev_d, curr_d, cfg)
+        t = jnp.where(res.ok, res.rel_pose, t)
+    # carry stays raw; the de-skewed view is what downstream consumers
+    # (keyframe store, ScanContext, ICP) should see
+    return curr, res, curr_d
 
 
 def make_odometry_step(cfg: SlamConfig):
@@ -118,7 +183,10 @@ class RadarOdometry:
             self.prev = self._extract(power, azimuths)
             self.num_scans = 1
             return self.pose.copy(), self.prev
-        curr, result = self._step(power, azimuths, self.prev)
+        curr, result, curr_out = self._step(
+            power, azimuths, self.prev,
+            jnp.asarray(self.last_rel, jnp.float32),
+        )
         self.last_result = result
         if bool(result.ok):
             rel = np.asarray(result.rel_pose)
@@ -133,4 +201,4 @@ class RadarOdometry:
         ).astype(np.float64)
         self.prev = curr
         self.num_scans += 1
-        return self.pose.copy(), curr
+        return self.pose.copy(), curr_out

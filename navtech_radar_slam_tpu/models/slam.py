@@ -151,6 +151,51 @@ class SlamEngine:
         self.num_scans = 0
         self._kf_pending_since_loop = 0
         self._pending_gps: Optional[np.ndarray] = None
+        #: first keyframe index of the *current* session (>0 after a prior
+        #: session was attached; the graph has an odometry gap there)
+        self.session_start = 0
+        self._rebased = True
+
+    # -- multi-session ------------------------------------------------------
+
+    def attach_prior_session(self, checkpoint_path: str):
+        """Load a previous session's checkpoint as a searchable prior map —
+        the capability behind the reference's unused multi-session API
+        (saveScancontextAndKeys / detectLoopClosureIDBetweenSession,
+        Scancontext.cpp:236-246, 267-328 'for ltslam').
+
+        Prior keyframes become graph nodes (odometry edges re-derived from
+        the prior's *optimized* trajectory); the sessions are joined by the
+        first accepted inter-session loop, which rebases the current
+        session into the prior's frame before the merged solve."""
+        if self.num_keyframes != 0:
+            raise RuntimeError("attach_prior_session before processing scans")
+        z = np.load(checkpoint_path, allow_pickle=False)
+        P = int(z["num_keyframes"])
+        cap = self.cfg.keyframes.max_keyframes
+        if P >= cap:
+            raise RuntimeError(f"prior session ({P} kf) exceeds capacity {cap}")
+
+        self.clouds = self.clouds.at[:P].set(jnp.asarray(z["clouds"][:P]))
+        self.clouds_valid = self.clouds_valid.at[:P].set(
+            jnp.asarray(z["clouds_valid"][:P])
+        )
+        self.bank = self.bank.at[:P].set(jnp.asarray(z["bank"][:P]))
+        self.ring_keys = self.ring_keys.at[:P].set(jnp.asarray(z["ring_keys"][:P]))
+        self.kf_times = list(z["kf_times"][:P])
+
+        prior_poses = np.asarray(z["graph_poses"][:P])
+        self.graph.add_node(prior_poses[0])
+        for k in range(1, P):
+            meas = np.asarray(
+                geo.se3_between(
+                    jnp.asarray(prior_poses[k - 1]), jnp.asarray(prior_poses[k])
+                )
+            )
+            self.graph.add_node(prior_poses[k], odom_meas=meas)
+        self.num_keyframes = P
+        self.session_start = P
+        self._rebased = False
 
     # -- per-scan entry -----------------------------------------------------
 
@@ -200,7 +245,8 @@ class SlamEngine:
 
         # graph node + odometry factor between consecutive keyframes
         pose_se3 = np.asarray(geo.se2_to_se3(jnp.asarray(odo_pose, jnp.float32)))
-        if k == 0:
+        if k == 0 or k == self.session_start:
+            # session-start node: no odometry edge across the session gap
             self.graph.add_node(pose_se3)
         else:
             prev = jnp.asarray(self.last_kf_pose, jnp.float32)
@@ -240,6 +286,8 @@ class SlamEngine:
             prev_idx = int(cand.idx)
             rel2 = np.asarray(res.rel_pose)
             meas = np.asarray(geo.se2_to_se3(jnp.asarray(rel2, jnp.float32)))
+            if not self._rebased and prev_idx < self.session_start <= k:
+                self._rebase_session(prev_idx, k, meas)
             self.graph.add_loop(prev_idx, k, meas)
             self.loops.append(
                 LoopEvent(prev_idx, k, float(cand.dist), float(res.fitness), rel2)
@@ -247,6 +295,22 @@ class SlamEngine:
             self._refine_graph(full=True)
         else:
             self._refine_graph(full=False)
+
+    def _rebase_session(self, prior_idx: int, curr_idx: int, loop_meas):
+        """First inter-session loop: rigidly move the whole current session
+        so the loop residual starts near zero (standard multi-session
+        initial alignment — a robust solve cannot pull a chain across a
+        frame-sized gap on its own)."""
+        poses = self.graph.g.poses
+        target = jnp.asarray(poses[prior_idx]) @ jnp.asarray(loop_meas)
+        T_align = target @ geo.se3_inv(jnp.asarray(poses[curr_idx]))
+        s = self.session_start
+        n = self.num_keyframes
+        moved = jnp.einsum("ij,njk->nik", T_align, poses[s:n])
+        self.graph.g = self.graph.g._replace(
+            poses=poses.at[s:n].set(moved)
+        )
+        self._rebased = True
 
     def _refine_graph(self, full: bool):
         # odometry-only graphs are already at their optimum (the chain);

@@ -35,6 +35,8 @@ def save_engine(eng: "SlamEngine", path: str) -> None:
         odo_pose=eng.odometry.pose,
         odo_last_rel=eng.odometry.last_rel,
         num_scans=eng.num_scans,
+        session_start=eng.session_start,
+        rebased=eng._rebased,
         graph_poses=np.asarray(g.poses),
         graph_num_nodes=int(g.num_nodes),
         graph_odom_meas=np.asarray(g.odom_meas),
@@ -73,6 +75,9 @@ def load_engine(path: str) -> "SlamEngine":
     eng.movement_accum = float(z["movement_accum"])
     eng.last_kf_pose = np.asarray(z["last_kf_pose"])
     eng.num_scans = int(z["num_scans"])
+    if "session_start" in z:
+        eng.session_start = int(z["session_start"])
+        eng._rebased = bool(z["rebased"])
     eng.odometry.pose = np.asarray(z["odo_pose"])
     eng.odometry.last_rel = np.asarray(z["odo_last_rel"])
     eng.odometry.num_scans = eng.num_scans

@@ -16,6 +16,9 @@ def small_cfg():
         features=dataclasses.replace(
             c.features, max_features=512, max_matches=256, cart_size=256,
             cart_resolution=1.0,  # ±128 m window at 256 px
+            # these tests render instantaneous (undistorted) scans; de-skew
+            # would *introduce* warp (real sweeps are distorted -> default on)
+            motion_compensation=False,
         ),
         registration=dataclasses.replace(c.registration, spectral_top_k=256),
         keyframes=dataclasses.replace(c.keyframes, max_keyframes=96),
