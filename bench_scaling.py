@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Weak-scaling benchmark for the distributed paths (BASELINE configs 4-5).
+
+For each mesh size d (1, 2, 4, ... up to the available device count):
+  * sharded ScanContext bank search with a bank of 2048*d keyframes
+    (work per device constant -> ideal weak scaling = flat time);
+  * distributed pose-graph GN step with 1024*d nodes.
+
+Weak-scaling efficiency = t(d=1) / t(d).  On the single-TPU environment the
+devices come from --xla_force_host_platform_device_count (CPU), which
+validates the collective structure; on a pod slice the same script measures
+real ICI scaling.  Prints one JSON line per (path, d).
+"""
+
+import json
+import os
+import sys
+import time
+
+# Default: 8-device virtual CPU mesh (this environment has one real chip;
+# probing jax.devices() first would pin the backend, so the choice is an env
+# var).  On a real pod slice run with NRS_SCALING_REAL=1.
+if os.environ.get("NRS_SCALING_REAL") != "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_bank_search(d, per_device=2048, iters=20):
+    from navtech_radar_slam_tpu.config import ScanContextConfig
+    from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
+    from navtech_radar_slam_tpu.parallel.sharded_bank import (
+        make_sharded_loop_detector,
+    )
+
+    cfg = ScanContextConfig()
+    m = mesh_mod.make_mesh(d)
+    N = per_device * d
+    rng = np.random.default_rng(0)
+    bank = jnp.asarray(
+        (rng.random((N, cfg.num_ring, cfg.num_sector)) > 0.7).astype(np.float32) * 2
+    )
+    bank = jax.device_put(bank, mesh_mod.bank_sharding(m))
+    query = bank[3]
+    detect = make_sharded_loop_detector(m, cfg)
+    nv = jnp.asarray(N)
+    r = detect(query, bank, nv)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    for _ in range(iters):
+        r = detect(query, bank, nv)
+    jax.block_until_ready(r)
+    return (time.time() - t0) / iters
+
+
+def bench_dist_pgo(d, per_device=1024, iters=5):
+    from navtech_radar_slam_tpu.config import PgoConfig
+    from navtech_radar_slam_tpu.models import posegraph as pg
+    from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
+    from navtech_radar_slam_tpu.parallel.dist_pgo import make_distributed_solver
+    from navtech_radar_slam_tpu.utils import geometry as geo
+
+    N = per_device * d
+    cfg = dataclasses.replace(
+        PgoConfig(), max_nodes=N, max_loop_edges=64, max_gps_factors=N,
+        gn_iters=1, cg_iters=16,
+    )
+    m = mesh_mod.make_mesh(d)
+    graph = pg.PoseGraph(cfg)
+    pose = np.eye(4, dtype=np.float32)
+    graph.add_node(pose)
+    step_m = np.asarray(geo.se2_to_se3(jnp.asarray([1.0, 0.0, 0.01], jnp.float32)))
+    # vectorized bulk-build of the chain (host loop too slow at this N)
+    g = graph.g
+    poses = np.zeros((N, 4, 4), np.float32)
+    poses[0] = pose
+    for k in range(1, N):
+        poses[k] = poses[k - 1] @ step_m
+    g = g._replace(
+        poses=jnp.asarray(poses),
+        num_nodes=jnp.asarray(N, jnp.int32),
+        odom_meas=jnp.asarray(np.tile(step_m, (N, 1, 1))),
+        odom_valid=jnp.ones((N,), bool).at[0].set(False),
+    )
+    shard = mesh_mod.bank_sharding(m)
+    g = g._replace(
+        odom_meas=jax.device_put(g.odom_meas, shard),
+        odom_valid=jax.device_put(g.odom_valid, shard),
+        gps_meas=jax.device_put(g.gps_meas, shard),
+        gps_valid=jax.device_put(g.gps_valid, shard),
+    )
+    solver = make_distributed_solver(m, cfg)
+    p = solver(g)
+    p.block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        p = solver(g)
+    p.block_until_ready()
+    return (time.time() - t0) / iters
+
+
+def main():
+    nd = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= nd]
+    virtual = jax.default_backend() == "cpu"
+    ncores = os.cpu_count() or 1
+    log(f"devices: {nd} x {jax.devices()[0].device_kind}")
+    if virtual:
+        log(f"NOTE: {nd} VIRTUAL cpu devices share {ncores} physical cores — "
+            f"weak-scaling 'efficiency' here is bounded by ~{ncores}/d and "
+            f"validates collective structure only; run on a pod slice with "
+            f"NRS_SCALING_REAL=1 for real numbers")
+    results = {}
+    for name, fn in (("sharded_bank_search", bench_bank_search),
+                     ("distributed_pgo_step", bench_dist_pgo)):
+        base = None
+        for d in sizes:
+            t = fn(d)
+            if base is None:
+                base = t
+            eff = base / t
+            results[(name, d)] = (t, eff)
+            rec = {
+                "metric": f"{name}_weak_scaling",
+                "devices": d,
+                "time_ms": round(1e3 * t, 3),
+                "efficiency": round(eff, 3),
+            }
+            if virtual:
+                rec["note"] = (
+                    f"virtual devices over {ncores} cores; "
+                    f"efficiency bound ~{min(1.0, ncores / d):.2f}"
+                )
+            print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--status_every", type=int, default=50)
+    p.add_argument("--save_plot", type=_bool, default=True,
+                   help="write result_map.png (map + path + loop chords)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard bank + pose graph over the first N devices")
     return p
 
 
@@ -141,12 +145,19 @@ def main(argv=None) -> int:
     cfg = make_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    mesh = None
+    if args.mesh > 1:
+        from navtech_radar_slam_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+        print(f"mesh: {mesh.shape} over {args.mesh} devices")
+
     if args.resume:
         print(f"resuming from {args.resume}")
         eng = ckpt.load_engine(args.resume)
         start_scan = eng.num_scans
     else:
-        eng = SlamEngine(cfg)
+        eng = SlamEngine(cfg, mesh=mesh)
         start_scan = 0
 
     stream, total, loader_kind = scan_stream(args, cfg)
@@ -217,6 +228,15 @@ def main(argv=None) -> int:
     ckpt.save_engine(eng, os.path.join(args.output_dir, "final.npz"))
     with open(os.path.join(args.output_dir, "stats.json"), "w") as f:
         json.dump(dataclasses.asdict(stats), f, indent=2)
+    if args.save_plot:
+        from navtech_radar_slam_tpu.utils.viz import save_map_plot
+
+        save_map_plot(
+            os.path.join(args.output_dir, "result_map.png"),
+            traj, map_pts, loops=eng.loops,
+            title=f"{os.path.basename(args.seq_dir.rstrip('/'))}: "
+                  f"{eng.num_keyframes} kf, {len(eng.loops)} loops",
+        )
     print(f"wrote {traj_path}, {map_path}, final.npz")
     return 0
 

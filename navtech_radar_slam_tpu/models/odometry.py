@@ -151,6 +151,20 @@ def make_odometry_step(cfg: SlamConfig):
     return jax.jit(functools.partial(odometry_step, cfg=cfg))
 
 
+def make_batched_odometry_step(cfg: SlamConfig):
+    """Data-parallel front-end: one jitted program advancing B independent
+    scan streams at once — vmap over the full odometry step.
+
+    A single stream is latency-bound on TPU (the chip idles between the
+    many small fused ops); batching B streams fills the MXU/VPU and
+    multiplies chip throughput.  This is the deployment shape for mapping
+    fleets / dataset reprocessing: (B, num_azimuths, padded_range_bins)
+    scans in, B relative poses out.  Nothing exists in the reference to
+    compare — one process handles one sensor (SURVEY §1 L4)."""
+    step = functools.partial(odometry_step, cfg=cfg)
+    return jax.jit(jax.vmap(step, in_axes=(0, None, 0, 0)))
+
+
 class RadarOdometry:
     """Host-side accumulator mirroring the ORORA node's output contract:
     per scan it yields the accumulated SE(2) pose (the `/orora/odom` stream)

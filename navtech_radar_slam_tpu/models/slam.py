@@ -86,39 +86,62 @@ def _build_submap(
     return flat[take], vflat[take]
 
 
+def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
+                      num_kf, cfg: SlamConfig):
+    """Submap build + ICP for a loop candidate (shared by both paths)."""
+    center = jnp.maximum(cand.idx, 0)
+    tgt, tgt_valid = _build_submap(
+        clouds, clouds_valid, poses_se2, center, num_kf,
+        cfg.icp.submap_half_size, cfg.icp.max_target_points,
+    )
+    # ICP aligns the query cloud into the candidate keyframe's frame.
+    # Init from the ScanContext yaw (the reference discards it; we use
+    # it — see ops/icp.py docstring).  SC yaw is "query rotated by yaw
+    # relative to match", so the query->match transform starts at -yaw.
+    init = jnp.where(
+        jnp.asarray(cfg.icp.use_yaw_init),
+        jnp.stack([0.0, 0.0, -cand.yaw]),
+        jnp.zeros(3),
+    )
+    return icp_ops.icp_se2(q_xy, q_valid, tgt, tgt_valid, init, cfg.icp)
+
+
 def _make_loop_pipeline(cfg: SlamConfig):
-    """Jitted: (bank, ring keys, clouds, poses, query cloud, query desc,
-    num_kf) -> (LoopCandidate, IcpResult, rel SE(2))."""
+    """Jitted fused single-device path: (bank, clouds, poses, query) ->
+    (LoopCandidate, IcpResult)."""
 
     def fn(bank_desc, clouds, clouds_valid, poses_se2, q_xy, q_valid,
            q_desc, num_kf):
         cand = sc_ops.detect_loop(q_desc, bank_desc, num_kf, cfg.scancontext)
-        center = jnp.maximum(cand.idx, 0)
-        tgt, tgt_valid = _build_submap(
-            clouds, clouds_valid, poses_se2, center, num_kf,
-            cfg.icp.submap_half_size, cfg.icp.max_target_points,
-        )
-        # ICP aligns the query cloud into the candidate keyframe's frame.
-        # Init from the ScanContext yaw (the reference discards it; we use
-        # it — see ops/icp.py docstring).  SC yaw is "query rotated by yaw
-        # relative to match", so the query->match transform starts at -yaw.
-        init = jnp.where(
-            jnp.asarray(cfg.icp.use_yaw_init),
-            jnp.stack([0.0, 0.0, -cand.yaw]),
-            jnp.zeros(3),
-        )
-        res = icp_ops.icp_se2(q_xy, q_valid, tgt, tgt_valid, init, cfg.icp)
+        res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
+                                q_xy, q_valid, num_kf, cfg)
         return cand, res
 
     return jax.jit(fn)
 
 
-class SlamEngine:
-    """Host orchestrator; all per-scan compute is jitted device code."""
+def _make_verify_pipeline(cfg: SlamConfig):
+    """Jitted submap+ICP only (used after a sharded bank search)."""
 
-    def __init__(self, cfg: Optional[SlamConfig] = None):
+    def fn(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid, num_kf):
+        return _verify_candidate(cand, clouds, clouds_valid, poses_se2,
+                                 q_xy, q_valid, num_kf, cfg)
+
+    return jax.jit(fn)
+
+
+class SlamEngine:
+    """Host orchestrator; all per-scan compute is jitted device code.
+
+    Pass a `jax.sharding.Mesh` to shard the descriptor bank (loop search via
+    parallel.sharded_bank) and the pose-graph factors (parallel.dist_pgo)
+    across its devices — the multi-chip/multi-host deployment shape
+    (BASELINE configs 4-5).  With mesh=None everything runs single-device."""
+
+    def __init__(self, cfg: Optional[SlamConfig] = None, mesh=None):
         self.cfg = cfg or SlamConfig()
         c = self.cfg
+        self.mesh = mesh
         self.odometry = RadarOdometry(c)
 
         K = c.features.max_features
@@ -134,9 +157,40 @@ class SlamEngine:
         # fast per-keyframe refinement vs full solve after new loops:
         # the iSAM2-like warm-started pattern
         fast_cfg = dataclasses.replace(c.pgo, gn_iters=2)
-        self._solve_fast = pg.make_solver(fast_cfg)
-        self._solve_full = pg.make_solver(c.pgo)
+        self._sharded_detect = None
+        if mesh is not None and mesh.size > 1:
+            from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
+            from navtech_radar_slam_tpu.parallel.dist_pgo import (
+                make_distributed_solver,
+            )
+            from navtech_radar_slam_tpu.parallel.sharded_bank import (
+                make_sharded_loop_detector,
+            )
+
+            if c.keyframes.max_keyframes % mesh.size != 0:
+                raise ValueError("max_keyframes must divide the mesh size")
+            self._bank_sharding = mesh_mod.bank_sharding(mesh)
+            self._sharded_detect = make_sharded_loop_detector(
+                mesh, c.scancontext
+            )
+            dist_fast = make_distributed_solver(mesh, fast_cfg)
+            dist_full = make_distributed_solver(mesh, c.pgo)
+            self._solve_fast = lambda g: g._replace(poses=dist_fast(g))
+            self._solve_full = lambda g: g._replace(poses=dist_full(g))
+            # shard the graph's factor arrays along the node axis
+            gg = self.graph.g
+            self.graph.g = gg._replace(
+                odom_meas=jax.device_put(gg.odom_meas, self._bank_sharding),
+                odom_valid=jax.device_put(gg.odom_valid, self._bank_sharding),
+                gps_meas=jax.device_put(gg.gps_meas, self._bank_sharding),
+                gps_valid=jax.device_put(gg.gps_valid, self._bank_sharding),
+            )
+            self.bank = jax.device_put(self.bank, self._bank_sharding)
+        else:
+            self._solve_fast = pg.make_solver(fast_cfg)
+            self._solve_full = pg.make_solver(c.pgo)
         self._loop_pipeline = _make_loop_pipeline(c)
+        self._verify_pipeline = _make_verify_pipeline(c)
         self._make_desc = jax.jit(
             lambda xy, valid: sc_ops.make_scancontext(
                 xy, jnp.zeros(xy.shape[0]), valid, c.scancontext
@@ -278,10 +332,19 @@ class SlamEngine:
         poses_se2 = jnp.asarray(
             geo.se3_to_se2(jnp.asarray(self.graph.g.poses)), jnp.float32
         )
-        cand, res = self._loop_pipeline(
-            self.bank, self.clouds, self.clouds_valid, poses_se2,
-            feats.xy, feats.valid, desc, jnp.asarray(k + 1, jnp.int32),
-        )
+        if self._sharded_detect is not None:
+            cand = self._sharded_detect(
+                desc, self.bank, jnp.asarray(k + 1, jnp.int32)
+            )
+            res = self._verify_pipeline(
+                cand, self.clouds, self.clouds_valid, poses_se2,
+                feats.xy, feats.valid, jnp.asarray(k + 1, jnp.int32),
+            )
+        else:
+            cand, res = self._loop_pipeline(
+                self.bank, self.clouds, self.clouds_valid, poses_se2,
+                feats.xy, feats.valid, desc, jnp.asarray(k + 1, jnp.int32),
+            )
         if bool(cand.found) and bool(res.accepted):
             prev_idx = int(cand.idx)
             rel2 = np.asarray(res.rel_pose)

@@ -107,3 +107,40 @@ def test_distributed_pgo_matches_single_device(rng):
     assert np.linalg.norm(t_dist - gt_t, axis=1).mean() < np.linalg.norm(
         t0 - gt_t, axis=1
     ).mean()
+
+
+def test_engine_with_mesh_matches_single_device():
+    """Full SLAM engine on an 8-device mesh: loop closures fire and the
+    trajectory matches the single-device engine."""
+    import dataclasses as dc
+    import os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam import small_cfg
+    from navtech_radar_slam_tpu.data import RadarSimulator
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+
+    base = small_cfg()
+    cfg = dc.replace(
+        base,
+        keyframes=dc.replace(base.keyframes, max_keyframes=96),
+        pgo=dc.replace(base.pgo, max_nodes=96),
+    )
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(50, radius=10.0, speed=6.0)
+    scans = [sim.render(gt[i], noise_seed=i) for i in range(50)]
+
+    m = mesh_mod.make_mesh(8)
+    eng_m = SlamEngine(cfg, mesh=m)
+    eng_s = SlamEngine(cfg)
+    for i in range(50):
+        eng_m.process(scans[i], timestamp=i * 0.25)
+        eng_s.process(scans[i], timestamp=i * 0.25)
+
+    assert len(eng_m.loops) >= 1
+    assert len(eng_m.loops) == len(eng_s.loops)
+    assert [(e.prev_idx, e.curr_idx) for e in eng_m.loops] == [
+        (e.prev_idx, e.curr_idx) for e in eng_s.loops
+    ]
+    np.testing.assert_allclose(
+        eng_m.trajectory()[:, :3, 3], eng_s.trajectory()[:, :3, 3], atol=5e-2
+    )
