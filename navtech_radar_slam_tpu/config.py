@@ -113,6 +113,9 @@ class RegistrationConfig:
     refine_iters: int = 8
     #: minimum final inliers to trust a registration result
     min_inliers: int = 8
+    #: after this many consecutive failed registrations, stop extrapolating
+    #: the constant-velocity fallback (coast guard)
+    max_coast_frames: int = 5
 
 
 @dataclass(frozen=True)
@@ -153,6 +156,10 @@ class ScanContextConfig:
     #: loop-detection cadence in keyframes (reference: 1 Hz thread,
     #: laserPosegraphOptimization.cpp:575-585; radar keyframes ~4 Hz)
     detect_every_n_keyframes: int = 1
+    #: "full" = whole-bank all-shift correlation (TPU-native default);
+    #: "ringkey" = ring-key KNN prefilter then per-candidate distance
+    #: (the reference's two-stage pipeline, Scancontext.cpp:331-422)
+    search_mode: str = "full"
 
 
 @dataclass(frozen=True)

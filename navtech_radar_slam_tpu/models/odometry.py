@@ -182,6 +182,7 @@ class RadarOdometry:
         self.last_result: Optional[registration.RegistrationResult] = None
         self.last_rel = np.zeros(3)      # constant-velocity fallback
         self.num_failures = 0
+        self._coast = 0
 
     def default_azimuths(self) -> np.ndarray:
         na = self.cfg.radar.num_azimuths
@@ -205,10 +206,15 @@ class RadarOdometry:
         if bool(result.ok):
             rel = np.asarray(result.rel_pose)
             self.last_rel = rel
+            self._coast = 0
         else:
-            # constant-velocity fallback: reuse the previous increment
-            rel = self.last_rel
+            # constant-velocity fallback: reuse the previous increment —
+            # but stop blind extrapolation after max_coast_frames failures
             self.num_failures += 1
+            self._coast += 1
+            if self._coast > self.cfg.registration.max_coast_frames:
+                self.last_rel = np.zeros(3)
+            rel = self.last_rel
         self.pose = np.asarray(
             geo.se2_mul(jnp.asarray(self.pose, jnp.float32),
                         jnp.asarray(rel, jnp.float32))

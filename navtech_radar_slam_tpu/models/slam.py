@@ -107,12 +107,18 @@ def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
 
 
 def _make_loop_pipeline(cfg: SlamConfig):
-    """Jitted fused single-device path: (bank, clouds, poses, query) ->
-    (LoopCandidate, IcpResult)."""
+    """Jitted fused single-device path: (bank, ring keys, clouds, poses,
+    query) -> (LoopCandidate, IcpResult).  search_mode selects the
+    whole-bank correlation or the reference's two-stage ring-key pipeline."""
 
-    def fn(bank_desc, clouds, clouds_valid, poses_se2, q_xy, q_valid,
-           q_desc, num_kf):
-        cand = sc_ops.detect_loop(q_desc, bank_desc, num_kf, cfg.scancontext)
+    def fn(bank_desc, ring_keys, clouds, clouds_valid, poses_se2, q_xy,
+           q_valid, q_desc, num_kf):
+        if cfg.scancontext.search_mode == "ringkey":
+            cand = sc_ops.detect_loop_ringkey(
+                q_desc, bank_desc, ring_keys, num_kf, cfg.scancontext
+            )
+        else:
+            cand = sc_ops.detect_loop(q_desc, bank_desc, num_kf, cfg.scancontext)
         res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
                                 q_xy, q_valid, num_kf, cfg)
         return cand, res
@@ -342,8 +348,9 @@ class SlamEngine:
             )
         else:
             cand, res = self._loop_pipeline(
-                self.bank, self.clouds, self.clouds_valid, poses_se2,
-                feats.xy, feats.valid, desc, jnp.asarray(k + 1, jnp.int32),
+                self.bank, self.ring_keys, self.clouds, self.clouds_valid,
+                poses_se2, feats.xy, feats.valid, desc,
+                jnp.asarray(k + 1, jnp.int32),
             )
         if bool(cand.found) and bool(res.accepted):
             prev_idx = int(cand.idx)

@@ -100,7 +100,8 @@ def sc_distance_all_shifts(
 
     if should_use_pallas():
         dist = sc_shift_distances_pallas(query, bank)
-        return jnp.min(dist, axis=-1), jnp.argmin(dist, axis=-1)
+        # clamp f32 rounding: a perfect self-match can land at -1e-3
+        return jnp.maximum(jnp.min(dist, axis=-1), 0.0), jnp.argmin(dist, axis=-1)
 
     qn, qnz = _normalize_columns(query)
     bn, bnz = _normalize_columns(bank)
@@ -129,7 +130,7 @@ def sc_distance_all_shifts(
     dist = 1.0 - C / jnp.maximum(counts, 1.0)
     dist = jnp.where(counts > 0, dist, 1.0)
     best_shift = jnp.argmin(dist, axis=-1)
-    best_dist = jnp.min(dist, axis=-1)
+    best_dist = jnp.maximum(jnp.min(dist, axis=-1), 0.0)
     return best_dist, best_shift
 
 

@@ -91,3 +91,18 @@ def test_map_output():
     # voxel dedup: no two points within ~the voxel in the same cell
     keys = np.floor(m / 0.5).astype(np.int64)
     assert len(np.unique(keys, axis=0)) == len(keys)
+
+
+def test_ringkey_search_mode_closes_loops():
+    """The reference's two-stage ring-key pipeline as engine search mode."""
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, scancontext=dataclasses.replace(cfg.scancontext,
+                                             search_mode="ringkey"),
+    )
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(50, radius=10.0, speed=6.0)
+    eng = SlamEngine(cfg)
+    for i in range(50):
+        eng.process(sim.render(gt[i], noise_seed=i), timestamp=i * 0.25)
+    assert len(eng.loops) >= 1
