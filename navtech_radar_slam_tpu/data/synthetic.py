@@ -14,7 +14,7 @@ PNGs the real reader decodes (data/mulran.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -28,7 +28,6 @@ determinism makes runs exactly reproducible.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax

@@ -1,21 +1,19 @@
-"""Cartesian rendering, patch descriptors, and feature matching.
+"""Feature descriptors and matching (+ Cartesian rendering utilities).
 
 The reference's front-end (upstream yeti design, SURVEY §1 L1 step 3) computes
 ORB descriptors on an OpenCV-rendered Cartesian radar image and matches them
 with brute-force Hamming distance.  Binary descriptors and Hamming popcount
 are a poor fit for the MXU, so the TPU-native redesign is:
 
-  * polar -> Cartesian rendering as one bilinear gather (no OpenCV remap);
-  * descriptors = mean/norm-normalized square intensity patches sampled
-    around each feature (K x patch² matrix);
+  * **constellation descriptors** (the production path): each feature's
+    neighbourhood of other features soft-splatted into a radially-aligned
+    histogram — exactly rotation invariant, robust to radar's sub-pixel blob
+    structure, built from one (K, K) pairwise pass + a flat scatter;
   * matching = a single (K, D) @ (D, K) correlation matmul on the MXU with
     mutual-nearest + Lowe ratio gating — the brute-force matcher the
-    reference runs on CPU becomes one fused matmul + argmax.
-
-Frame-to-frame rotation at 4 Hz scan rate is small (< ~10°), so plain
-axis-aligned patches suffice where ORB needed orientation normalization;
-rotation robustness for *loop closures* comes from ScanContext's circular
-shift search (ops/scancontext.py) instead.
+    reference runs on CPU becomes one fused matmul + argmax;
+  * polar -> Cartesian bilinear rendering and radially-aligned image-patch
+    descriptors are kept as utilities (visualization, experimentation).
 """
 
 from __future__ import annotations
@@ -26,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from navtech_radar_slam_tpu.config import FeatureConfig, RadarConfig
-from navtech_radar_slam_tpu.ops.cen2019 import FeatureSet
+
 
 
 def polar_to_cartesian(

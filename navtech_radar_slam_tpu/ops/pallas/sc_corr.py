@@ -18,7 +18,6 @@ contraction dim to 1280, the 60 shifts to 128 (inf-masked).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

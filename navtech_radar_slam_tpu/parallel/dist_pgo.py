@@ -25,7 +25,6 @@ from navtech_radar_slam_tpu.models.posegraph import (
     _between_residual,
     _apply_delta,
     _cg_solve,
-    _diag_precond,
 )
 from navtech_radar_slam_tpu.utils import geometry as geo
 

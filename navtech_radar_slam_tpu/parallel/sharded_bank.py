@@ -12,12 +12,12 @@ per-candidate loop (Scancontext.cpp:331-422) becomes
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from navtech_radar_slam_tpu.config import ScanContextConfig
 from navtech_radar_slam_tpu.ops import scancontext as sc_ops

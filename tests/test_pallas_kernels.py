@@ -80,3 +80,36 @@ def test_nn_kernel_all_invalid(rng):
     tv = jnp.zeros(128, bool)
     d, i = nearest_neighbors_pallas(src, tgt, tv, interpret=True)
     assert np.isinf(np.asarray(d)).all()
+
+
+def test_cen2019_kernel_matches_xla():
+    """Fused peak-detection kernel vs the XLA pipeline on a simulated scan."""
+    import jax
+
+    from navtech_radar_slam_tpu.config import SlamConfig
+    from navtech_radar_slam_tpu.data import RadarSimulator
+    from navtech_radar_slam_tpu.ops import cen2019
+    from navtech_radar_slam_tpu.ops.pallas.cen_peaks import cen2019_scores_pallas
+
+    cfg = SlamConfig()
+    sim = RadarSimulator(cfg.radar)
+    scan = jnp.asarray(sim.render(np.asarray([5.0, -3.0, 0.7]), noise_seed=3))
+
+    ref = cen2019.cen2019_features(scan, cfg.features, cfg.radar)
+    scores = cen2019_scores_pallas(scan, cfg.features, cfg.radar, interpret=True)
+    out = cen2019._finalize_topk_scores(scores, cfg.features.max_features)
+
+    rv = np.asarray(ref.valid)
+    ov = np.asarray(out.valid)
+    assert rv.sum() == ov.sum()
+    ref_set = set(zip(np.asarray(ref.azimuth_idx)[rv].tolist(),
+                      np.asarray(ref.range_bin)[rv].tolist()))
+    out_set = set(zip(np.asarray(out.azimuth_idx)[ov].tolist(),
+                      np.asarray(out.range_bin)[ov].tolist()))
+    # identical peak sets up to float-order ties
+    sym = ref_set.symmetric_difference(out_set)
+    assert len(sym) <= 0.01 * len(ref_set), f"{len(sym)} differing peaks"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out.power)[ov]), np.sort(np.asarray(ref.power)[rv]),
+        atol=1e-5,
+    )
