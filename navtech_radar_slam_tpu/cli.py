@@ -222,6 +222,17 @@ def main(argv=None) -> int:
     traj = eng.trajectory()
     traj_path = os.path.join(args.output_dir, "trajectory_tum.txt")
     save_trajectory_tum(traj_path, eng.kf_times, traj)
+    # raw odometry (pre-PGO) trajectory — the /repub_odom analogue
+    from navtech_radar_slam_tpu.utils import geometry as geo
+    import jax.numpy as jnp
+
+    odom_se3 = np.asarray(
+        geo.se2_to_se3(jnp.asarray(np.asarray(eng.odom_poses), jnp.float32))
+    ) if eng.odom_poses else np.zeros((0, 4, 4))
+    save_trajectory_tum(
+        os.path.join(args.output_dir, "odometry_tum.txt"),
+        eng.kf_times, odom_se3,
+    )
     map_pts = eng.aggregate_map()
     map_path = os.path.join(args.output_dir, "map_points.csv")
     np.savetxt(map_path, map_pts, delimiter=",", header="x,y", comments="")
@@ -234,6 +245,8 @@ def main(argv=None) -> int:
         save_map_plot(
             os.path.join(args.output_dir, "result_map.png"),
             traj, map_pts, loops=eng.loops,
+            odometry_xy=np.asarray(eng.odom_poses)[:, :2]
+            if eng.odom_poses else None,
             title=f"{os.path.basename(args.seq_dir.rstrip('/'))}: "
                   f"{eng.num_keyframes} kf, {len(eng.loops)} loops",
         )

@@ -207,6 +207,9 @@ class SlamEngine:
         # (laserPosegraphOptimization.cpp:63)
         self.last_kf_pose = np.zeros(3)
         self.loops: List[LoopEvent] = []
+        #: raw (pre-PGO) odometry pose per keyframe — the reference's
+        #: /repub_odom stream (laserPosegraphOptimization.cpp:699)
+        self.odom_poses: List[np.ndarray] = []
         self.num_scans = 0
         self._kf_pending_since_loop = 0
         self._pending_gps: Optional[np.ndarray] = None
@@ -244,6 +247,9 @@ class SlamEngine:
         self.kf_times = list(z["kf_times"][:P])
 
         prior_poses = np.asarray(z["graph_poses"][:P])
+        self.odom_poses = list(
+            np.asarray(geo.se3_to_se2(jnp.asarray(prior_poses)))
+        )
         self.graph.add_node(prior_poses[0])
         for k in range(1, P):
             meas = np.asarray(
@@ -301,6 +307,7 @@ class SlamEngine:
         self.bank = self.bank.at[k].set(desc)
         self.ring_keys = self.ring_keys.at[k].set(sc_ops.ring_key(desc))
         self.kf_times.append(timestamp)
+        self.odom_poses.append(odo_pose.copy())
 
         # graph node + odometry factor between consecutive keyframes
         pose_se3 = np.asarray(geo.se2_to_se3(jnp.asarray(odo_pose, jnp.float32)))

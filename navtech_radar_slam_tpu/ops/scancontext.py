@@ -220,6 +220,73 @@ def detect_loop_ringkey(
     )
 
 
+class ScanContextManager:
+    """Host-side bank manager mirroring the reference's SCManager API
+    (Scancontext.h:57-122) over the batched device ops.
+
+    Method names follow the reference for drop-in familiarity; internally
+    the bank is one padded device array and every query is a single
+    correlation matmul (or the ring-key two-stage path)."""
+
+    def __init__(self, cfg: ScanContextConfig, capacity: int = 4096):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.bank = jnp.zeros((capacity, cfg.num_ring, cfg.num_sector),
+                              jnp.float32)
+        self.ring_keys = jnp.zeros((capacity, cfg.num_ring), jnp.float32)
+        self.num = 0
+
+    def setSCdistThres(self, thres: float) -> None:  # noqa: N802 (parity)
+        import dataclasses
+
+        self.cfg = dataclasses.replace(self.cfg, sc_dist_thres=thres)
+
+    def makeAndSaveScancontextAndKeys(self, xy, z=None, valid=None):  # noqa: N802
+        """cpp:249-260 — build descriptor + keys and append to the bank."""
+        K = xy.shape[0]
+        z = jnp.zeros(K) if z is None else z
+        valid = jnp.ones(K, bool) if valid is None else valid
+        if self.num >= self.capacity:
+            raise RuntimeError("ScanContext bank capacity exceeded")
+        desc = make_scancontext(xy, z, valid, self.cfg)
+        self.bank = self.bank.at[self.num].set(desc)
+        self.ring_keys = self.ring_keys.at[self.num].set(ring_key(desc))
+        self.num += 1
+        return desc
+
+    def detectLoopClosureID(self) -> Tuple[int, float]:  # noqa: N802
+        """cpp:331-422 — query the newest descriptor against the bank.
+        Returns (index, yaw) with index -1 when no loop (reference
+        convention)."""
+        if self.num == 0:
+            return -1, 0.0
+        query = self.bank[self.num - 1]
+        if self.cfg.search_mode == "ringkey":
+            res = detect_loop_ringkey(
+                query, self.bank, self.ring_keys,
+                jnp.asarray(self.num), self.cfg,
+            )
+        else:
+            res = detect_loop(query, self.bank, jnp.asarray(self.num), self.cfg)
+        return int(res.idx), float(res.yaw)
+
+    def saveScancontextAndKeys(self, desc) -> None:  # noqa: N802
+        """cpp:236-246 — append an externally built descriptor."""
+        if self.num >= self.capacity:
+            raise RuntimeError("ScanContext bank capacity exceeded")
+        desc = jnp.asarray(desc)
+        self.bank = self.bank.at[self.num].set(desc)
+        self.ring_keys = self.ring_keys.at[self.num].set(ring_key(desc))
+        self.num += 1
+
+    def detectLoopClosureIDBetweenSession(self, query_desc) -> Tuple[int, float]:  # noqa: N802
+        """cpp:267-328 — query an external descriptor against this bank."""
+        res = detect_loop_between_sessions(
+            jnp.asarray(query_desc), self.bank, jnp.asarray(self.num), self.cfg
+        )
+        return int(res.idx), float(res.yaw)
+
+
 # -- multi-session API (parity with saveScancontextAndKeys /
 #    detectLoopClosureIDBetweenSession, cpp:236-246, 267-328) --------------
 

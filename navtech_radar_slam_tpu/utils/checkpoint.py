@@ -29,6 +29,7 @@ def save_engine(eng: "SlamEngine", path: str) -> None:
         bank=np.asarray(eng.bank),
         ring_keys=np.asarray(eng.ring_keys),
         kf_times=np.asarray(eng.kf_times, np.float64),
+        odom_poses=np.asarray(eng.odom_poses, np.float64).reshape(-1, 3),
         num_keyframes=eng.num_keyframes,
         movement_accum=eng.movement_accum,
         last_kf_pose=eng.last_kf_pose,
@@ -71,6 +72,8 @@ def load_engine(path: str) -> "SlamEngine":
     eng.bank = jnp.asarray(z["bank"])
     eng.ring_keys = jnp.asarray(z["ring_keys"])
     eng.kf_times = list(z["kf_times"])
+    if "odom_poses" in z:
+        eng.odom_poses = [p for p in np.asarray(z["odom_poses"])]
     eng.num_keyframes = int(z["num_keyframes"])
     eng.movement_accum = float(z["movement_accum"])
     eng.last_kf_pose = np.asarray(z["last_kf_pose"])

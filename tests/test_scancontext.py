@@ -147,3 +147,29 @@ def test_empty_sector_columns_handled():
     dist, _ = sc.sc_distance_all_shifts(d, d[None])
     assert np.isfinite(float(dist[0]))
     assert float(dist[0]) < 1e-6
+
+
+def test_scmanager_api_parity(rng):
+    """Reference-named SCManager API over the batched ops."""
+    mgr = sc.ScanContextManager(CFG, capacity=64)
+    clouds = [random_cloud(np.random.default_rng(300 + i), n=400) for i in range(35)]
+    for c in clouds:
+        mgr.makeAndSaveScancontextAndKeys(c)
+    assert mgr.num == 35
+    # newest is a rotated revisit of scene 2
+    mgr.makeAndSaveScancontextAndKeys(rotate(clouds[2], 0.5))
+    idx, yaw = mgr.detectLoopClosureID()
+    assert idx == 2
+    assert abs(yaw - 0.5) < 2 * np.pi / CFG.num_sector + 1e-6
+
+    # between-session query with an externally built descriptor
+    other = sc.ScanContextManager(CFG, capacity=16)
+    for c in clouds[:8]:
+        other.saveScancontextAndKeys(desc_of(c))
+    q = desc_of(rotate(clouds[5], -0.3))
+    idx2, yaw2 = other.detectLoopClosureIDBetweenSession(q)
+    assert idx2 == 5
+
+    mgr.setSCdistThres(0.0)  # impossible threshold -> no loops
+    idx3, _ = mgr.detectLoopClosureID()
+    assert idx3 == -1

@@ -106,3 +106,24 @@ def test_ringkey_search_mode_closes_loops():
     for i in range(50):
         eng.process(sim.render(gt[i], noise_seed=i), timestamp=i * 0.25)
     assert len(eng.loops) >= 1
+
+
+def test_engine_survives_garbage_scans():
+    """Sensor dropout mid-run: engine coasts, counts failures, recovers."""
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(14, radius=10.0, speed=6.0)
+    eng = SlamEngine(cfg)
+    noise_rng = np.random.default_rng(1)
+    for i in range(14):
+        if 5 <= i < 8:  # three frames of pure noise
+            scan = noise_rng.exponential(
+                0.04, size=(cfg.radar.num_azimuths, cfg.radar.padded_range_bins)
+            ).astype(np.float32).clip(0, 1)
+        else:
+            scan = sim.render(gt[i], noise_seed=i)
+        pose = eng.process(scan, timestamp=i * 0.25)
+        assert np.isfinite(pose).all()
+    assert eng.odometry.num_failures >= 3
+    # post-dropout registration recovers (odometry ok again)
+    assert bool(eng.odometry.last_result.ok)
