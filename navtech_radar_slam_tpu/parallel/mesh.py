@@ -20,6 +20,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 BANK_AXIS = "bank"
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (call once per host before make_mesh()).
+
+    On cloud TPU pods the arguments auto-detect from the environment
+    (`jax.distributed.initialize()` with no args); for manual clusters pass
+    coordinator "host:port", the process count, and this host's index.
+    Returns the global device count.  After this, `make_mesh()` over
+    `jax.devices()` spans the whole slice and every collective in
+    sharded_bank/dist_pgo rides ICI/DCN unchanged."""
+    import jax
+
+    if coordinator is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     axis: str = BANK_AXIS,

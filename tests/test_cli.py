@@ -122,3 +122,35 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(eng2.trajectory(), eng.trajectory(), atol=1e-6)
     np.testing.assert_allclose(eng2.odometry.pose, eng.odometry.pose)
+
+
+def test_eval_cli(tmp_path):
+    """ATE eval against a synthetic ground truth with noise + offset."""
+    from navtech_radar_slam_tpu import eval as ev
+
+    rng = np.random.default_rng(0)
+    n = 60
+    t = 1_600_000_000.0 + np.arange(n) * 0.25
+    gt = np.cumsum(rng.normal(0.5, 0.1, size=(n, 2)), axis=0)
+    # estimated = gt rotated + translated + small noise (alignment removes it)
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    est = gt @ R.T + np.array([5.0, -3.0]) + rng.normal(0, 0.05, (n, 2))
+
+    est_path = tmp_path / "est.txt"
+    gt_path = tmp_path / "gt.txt"
+    with open(est_path, "w") as f:
+        for i in range(n):
+            f.write(f"{t[i]:.6f} {est[i,0]} {est[i,1]} 0 0 0 0 1\n")
+    with open(gt_path, "w") as f:
+        for i in range(n):
+            f.write(f"{t[i]+0.01:.6f} {gt[i,0]} {gt[i,1]} 0 0 0 0 1\n")
+
+    import io, contextlib, json as js
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = ev.main(["--traj", str(est_path), "--gt", str(gt_path)])
+    assert rc == 0
+    out = js.loads(buf.getvalue().strip())
+    assert out["pairs"] == n
+    assert out["value"] < 0.1, out   # alignment removed the offset
