@@ -77,7 +77,7 @@ def main():
 
     # batched (data-parallel) front-end: B independent streams in one
     # program — the chip-throughput shape for fleet/reprocessing workloads
-    B = 16
+    B = 32
     bstep = odo_mod.make_batched_odometry_step(cfg)
     bscans = jnp.stack([scans[i % len(scans)] for i in range(B)])
     bcarry = jax.vmap(lambda p: odo_mod.extract_scan_features(p, azimuths, cfg))(

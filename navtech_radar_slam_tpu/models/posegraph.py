@@ -281,6 +281,36 @@ class PoseGraph:
         self.num_nodes = 0
         self.num_loops = 0
 
+    def grow(self, new_max_nodes: int = None, new_max_loops: int = None):
+        """Double (or set) capacities, padding arrays and rebuilding the
+        jitted solver — host-level capacity doubling so the padded static
+        shapes stay XLA-friendly while the graph is unbounded in practice."""
+        import dataclasses
+
+        new_max_nodes = new_max_nodes or 2 * self.cfg.max_nodes
+        new_max_loops = new_max_loops or 2 * self.cfg.max_loop_edges
+        old = self.g
+        self.cfg = dataclasses.replace(
+            self.cfg, max_nodes=new_max_nodes, max_loop_edges=new_max_loops,
+            max_gps_factors=new_max_nodes,
+        )
+        g = empty_graph(self.cfg)
+        N0 = old.poses.shape[0]
+        L0 = old.loop_i.shape[0]
+        self.g = g._replace(
+            poses=g.poses.at[:N0].set(old.poses),
+            num_nodes=old.num_nodes,
+            odom_meas=g.odom_meas.at[:N0].set(old.odom_meas),
+            odom_valid=g.odom_valid.at[:N0].set(old.odom_valid),
+            loop_i=g.loop_i.at[:L0].set(old.loop_i),
+            loop_j=g.loop_j.at[:L0].set(old.loop_j),
+            loop_meas=g.loop_meas.at[:L0].set(old.loop_meas),
+            loop_valid=g.loop_valid.at[:L0].set(old.loop_valid),
+            gps_meas=g.gps_meas.at[:N0].set(old.gps_meas),
+            gps_valid=g.gps_valid.at[:N0].set(old.gps_valid),
+        )
+        self._solve = make_solver(self.cfg)
+
     def add_node(self, pose_init: np.ndarray, odom_meas: np.ndarray = None):
         """Append node with initial SE(3) pose; odom_meas is T_{prev,this}
         (None for the first node, which becomes the gauge/prior)."""

@@ -294,12 +294,61 @@ class SlamEngine:
 
     # -- keyframe path ------------------------------------------------------
 
+    def _grow_capacity(self):
+        """Double the keyframe/graph capacity (host-level ring growth,
+        SURVEY §7): pad device arrays, rebuild the shape-dependent jitted
+        pipelines.  Costs one recompile, amortized O(log N) times."""
+        c = self.cfg
+        old_cap = c.keyframes.max_keyframes
+        new_cap = 2 * old_cap
+        self.cfg = c = c.replace(
+            keyframes=dataclasses.replace(c.keyframes, max_keyframes=new_cap),
+            pgo=dataclasses.replace(
+                c.pgo, max_nodes=2 * c.pgo.max_nodes,
+                max_loop_edges=2 * c.pgo.max_loop_edges,
+                max_gps_factors=2 * c.pgo.max_nodes,
+            ),
+        )
+        K = c.features.max_features
+        R, S = c.scancontext.num_ring, c.scancontext.num_sector
+        self.clouds = jnp.zeros((new_cap, K, 2), jnp.float32).at[:old_cap].set(
+            self.clouds
+        )
+        self.clouds_valid = jnp.zeros((new_cap, K), bool).at[:old_cap].set(
+            self.clouds_valid
+        )
+        self.bank = jnp.zeros((new_cap, R, S), jnp.float32).at[:old_cap].set(
+            self.bank
+        )
+        self.ring_keys = jnp.zeros((new_cap, R), jnp.float32).at[:old_cap].set(
+            self.ring_keys
+        )
+        self.graph.grow(c.pgo.max_nodes, c.pgo.max_loop_edges)
+        fast_cfg = dataclasses.replace(c.pgo, gn_iters=2)
+        if self._sharded_detect is None:
+            self._solve_fast = pg.make_solver(fast_cfg)
+            self._solve_full = pg.make_solver(c.pgo)
+        else:
+            from navtech_radar_slam_tpu.parallel.dist_pgo import (
+                make_distributed_solver,
+            )
+
+            dist_fast = make_distributed_solver(self.mesh, fast_cfg)
+            dist_full = make_distributed_solver(self.mesh, c.pgo)
+            self._solve_fast = lambda g: g._replace(poses=dist_fast(g))
+            self._solve_full = lambda g: g._replace(poses=dist_full(g))
+        self._loop_pipeline = _make_loop_pipeline(c)
+        self._verify_pipeline = _make_verify_pipeline(c)
+
     def _add_keyframe(self, odo_pose: np.ndarray, feats: ScanFeatures,
                       timestamp: float):
         c = self.cfg
         k = self.num_keyframes
-        if k >= c.keyframes.max_keyframes:
-            raise RuntimeError("keyframe capacity exceeded; raise max_keyframes")
+        if k >= c.keyframes.max_keyframes - 1 or (
+            self.graph.num_loops >= c.pgo.max_loop_edges - 2
+        ):
+            self._grow_capacity()
+            c = self.cfg
 
         self.clouds = self.clouds.at[k].set(feats.xy)
         self.clouds_valid = self.clouds_valid.at[k].set(feats.valid)

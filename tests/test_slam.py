@@ -127,3 +127,23 @@ def test_engine_survives_garbage_scans():
     assert eng.odometry.num_failures >= 3
     # post-dropout registration recovers (odometry ok again)
     assert bool(eng.odometry.last_result.ok)
+
+
+def test_capacity_doubling_growth():
+    """Engine started with a tiny bank grows transparently (SURVEY §7
+    host-level capacity doubling) and still closes loops."""
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        keyframes=dataclasses.replace(cfg.keyframes, max_keyframes=16),
+        pgo=dataclasses.replace(cfg.pgo, max_nodes=16, max_loop_edges=4),
+    )
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(50, radius=10.0, speed=6.0)
+    eng = SlamEngine(cfg)
+    for i in range(50):
+        eng.process(sim.render(gt[i], noise_seed=i), timestamp=i * 0.25)
+    assert eng.num_keyframes == 50
+    assert eng.cfg.keyframes.max_keyframes >= 64
+    assert len(eng.loops) >= 1
+    assert np.isfinite(eng.trajectory()).all()
