@@ -85,6 +85,13 @@ class FeatureConfig:
     #: de-skew features for platform motion during the scan sweep using the
     #: previous frame's velocity estimate (yeti capability, README.md:100-111)
     motion_compensation: bool = True
+    #: correct the FMCW Doppler range shift Δr = beta * (range rate) induced
+    #: by platform motion (the second yeti capability the reference inherits,
+    #: README.md:100-111).  Off by default, matching the upstream default.
+    doppler_compensation: bool = False
+    #: Doppler coupling beta = f_carrier / chirp_slope (seconds); 0.049 s is
+    #: the published value for the Navtech CIR204-H family (yeti).
+    doppler_beta: float = 0.049
 
 
 @dataclass(frozen=True)

@@ -33,6 +33,9 @@ class SimConfig:
     noise_floor: float = 0.04
     speckle: float = 0.05
     max_visible_range: float = 180.0   # m
+    #: FMCW Doppler coupling (seconds): measured range = true + beta * rdot.
+    #: Applied only to motion-distorted renders (end_pose given); 0 disables.
+    doppler_beta: float = 0.0
     seed: int = 0
 
 
@@ -125,6 +128,12 @@ class RadarSimulator:
                 bearing = np.mod(
                     np.arctan2(dxy[:, 1], dxy[:, 0]) - interp[:, 2], 2 * np.pi
                 )
+            if sc.doppler_beta != 0.0:
+                # static world, moving sensor: rdot = -d̂·v (world frame);
+                # the radar reports r + beta * rdot
+                v_world = dp[:2] * rc.scan_rate_hz
+                d_hat = dxy / np.maximum(rng_m[:, None], 1e-9)
+                rng_m = rng_m - sc.doppler_beta * (d_hat @ v_world)
 
         az_f = bearing / (2 * np.pi) * na          # fractional azimuth row
         rb_f = rng_m / rc.range_resolution          # fractional range bin

@@ -60,6 +60,25 @@ def motion_compensate(xy: jnp.ndarray, ray_frac: jnp.ndarray,
     ) + f * twist[None, :2]
 
 
+def doppler_compensate(xy: jnp.ndarray, twist: jnp.ndarray,
+                       beta: float, scan_rate_hz: float) -> jnp.ndarray:
+    """Undo the FMCW Doppler range shift (yeti capability,
+    /root/reference/README.md:100-111).
+
+    A static target seen from a sensor moving with velocity v has range
+    rate rdot = -d̂·v (d̂ = beam unit vector), and an FMCW radar measures
+    r_meas = r_true + beta * rdot.  Given the per-sweep twist estimate
+    (sensor velocity v ≈ twist[:2] * scan_rate, sweep-start frame), the
+    correction is r_true = r_meas + beta * (d̂·v).  Chirp direction flips
+    the sign of beta — make ``doppler_beta`` negative for down-chirp radars.
+    """
+    v = twist[:2] * scan_rate_hz
+    r = jnp.linalg.norm(xy, axis=-1, keepdims=True)
+    d = xy / jnp.maximum(r, 1e-6)
+    r_true = r + beta * jnp.sum(d * v[None, :], axis=-1, keepdims=True)
+    return d * r_true
+
+
 def _with_xy(feats: ScanFeatures, xy: jnp.ndarray,
              fcfg) -> ScanFeatures:
     """Replace positions and rebuild the (position-dependent) descriptors."""
@@ -73,8 +92,18 @@ def _with_xy(feats: ScanFeatures, xy: jnp.ndarray,
 
 def deskew_features(feats: ScanFeatures, twist: jnp.ndarray,
                     cfg: SlamConfig) -> ScanFeatures:
-    """De-skewed view of a raw feature set (descriptors rebuilt)."""
-    xy = motion_compensate(feats.xy, feats.ray_frac, twist)
+    """De-skewed view of a raw feature set (descriptors rebuilt).
+
+    Doppler is undone first (it acts on the measured range along each beam
+    at the ray's own sample time), then the motion skew re-expresses all
+    rays in the sweep-start frame."""
+    xy = feats.xy
+    if cfg.features.doppler_compensation:
+        xy = doppler_compensate(
+            xy, twist, cfg.features.doppler_beta, cfg.radar.scan_rate_hz
+        )
+    if cfg.features.motion_compensation:
+        xy = motion_compensate(xy, feats.ray_frac, twist)
     return _with_xy(feats, xy, cfg.features)
 
 
@@ -131,7 +160,8 @@ def odometry_step(
     repeated invocation of this compiled program."""
     curr = extract_scan_features(power, azimuths, cfg)
     res = register_feature_pair(prev, curr, cfg)
-    if not cfg.features.motion_compensation:
+    if not (cfg.features.motion_compensation
+            or cfg.features.doppler_compensation):
         return curr, res, curr
 
     t = jnp.where(res.ok, res.rel_pose, twist)
