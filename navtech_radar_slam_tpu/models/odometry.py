@@ -210,20 +210,34 @@ class RadarOdometry:
         self.pose = np.zeros(3)          # accumulated [x, y, theta]
         self.num_scans = 0
         self.last_result: Optional[registration.RegistrationResult] = None
+        #: host copy of the last step's (ok, rel_pose) — one device fetch
+        self.last_ok: bool = False
         self.last_rel = np.zeros(3)      # constant-velocity fallback
+        #: the increment actually composed into `pose` last scan (= last_rel
+        #: or the coast fallback) — what downstream gates should integrate
+        self.last_applied_rel = np.zeros(3)
         self.num_failures = 0
         self._coast = 0
+        self._az_dev: Optional[jnp.ndarray] = None
 
     def default_azimuths(self) -> np.ndarray:
         na = self.cfg.radar.num_azimuths
         return (np.arange(na, dtype=np.float32) + 0.5) / na * 2.0 * np.pi
 
     def process(self, power, azimuths=None) -> Tuple[np.ndarray, ScanFeatures]:
-        """Feed one polar scan; returns (accumulated pose, scan features)."""
+        """Feed one polar scan; returns (accumulated pose, scan features).
+
+        Host discipline: the only device interactions per scan are the scan
+        upload, one jitted step dispatch, and ONE fetch of (ok, rel_pose);
+        pose accumulation is host numpy (eager jnp ops cost a round-trip
+        each over a tunneled device)."""
         if azimuths is None:
-            azimuths = self.default_azimuths()
+            if self._az_dev is None:
+                self._az_dev = jnp.asarray(self.default_azimuths())
+            azimuths = self._az_dev
+        else:
+            azimuths = jnp.asarray(azimuths)
         power = jnp.asarray(power)
-        azimuths = jnp.asarray(azimuths)
         if self.prev is None:
             self.prev = self._extract(power, azimuths)
             self.num_scans = 1
@@ -233,8 +247,10 @@ class RadarOdometry:
             jnp.asarray(self.last_rel, jnp.float32),
         )
         self.last_result = result
-        if bool(result.ok):
-            rel = np.asarray(result.rel_pose)
+        ok, rel_dev = jax.device_get((result.ok, result.rel_pose))
+        self.last_ok = bool(ok)
+        if self.last_ok:
+            rel = np.asarray(rel_dev, np.float64)
             self.last_rel = rel
             self._coast = 0
         else:
@@ -245,10 +261,8 @@ class RadarOdometry:
             if self._coast > self.cfg.registration.max_coast_frames:
                 self.last_rel = np.zeros(3)
             rel = self.last_rel
-        self.pose = np.asarray(
-            geo.se2_mul(jnp.asarray(self.pose, jnp.float32),
-                        jnp.asarray(rel, jnp.float32))
-        ).astype(np.float64)
+        self.last_applied_rel = np.asarray(rel, np.float64)
+        self.pose = geo.se2_mul_np(self.pose, self.last_applied_rel)
         self.prev = curr
         self.num_scans += 1
         return self.pose.copy(), curr_out

@@ -85,6 +85,19 @@ def _between_residual(Ti, Tj, meas):
     return geo.se3_log(geo.se3_inv(meas) @ (geo.se3_inv(Ti) @ Tj))
 
 
+def _between_residual_masked(Ti, Tj, meas, valid):
+    """Between residual with the relative transform forced to identity for
+    invalid (padding) factors BEFORE the log map.
+
+    Masking after the log is not enough: a padding slot can pair an
+    arbitrary pose with the identity, landing the log on a pi-rotation
+    where its backward pass is singular — and 0 * NaN = NaN would poison
+    the whole gradient."""
+    rel = geo.se3_inv(meas) @ (geo.se3_inv(Ti) @ Tj)
+    rel = jnp.where(valid, rel, jnp.eye(4, dtype=rel.dtype))
+    return geo.se3_log(rel)
+
+
 def _apply_delta(poses, delta):
     """Right-perturbation update: T <- T exp(delta)."""
     return poses @ geo.se3_exp(delta)
@@ -115,7 +128,7 @@ def residuals(
 
     # odometry chain factors: node k vs k-1
     Pi = jnp.roll(P, 1, axis=0)
-    r_odom = jax.vmap(_between_residual)(Pi, P, g.odom_meas)
+    r_odom = jax.vmap(_between_residual_masked)(Pi, P, g.odom_meas, g.odom_valid)
     r_odom = jax.vmap(
         functools.partial(
             _whiten_between,
@@ -128,7 +141,7 @@ def residuals(
     # loop factors (IRLS-weighted Cauchy)
     Li = P[g.loop_i]
     Lj = P[g.loop_j]
-    r_loop = jax.vmap(_between_residual)(Li, Lj, g.loop_meas)
+    r_loop = jax.vmap(_between_residual_masked)(Li, Lj, g.loop_meas, g.loop_valid)
     r_loop = r_loop / cfg.loop_sigma
     r_loop = r_loop * (g.loop_valid * jnp.sqrt(loop_irls_w))[:, None]
 
@@ -218,8 +231,8 @@ def _gn_step(g: GraphArrays, cfg: PgoConfig, lam: float) -> GraphArrays:
     zero = jnp.zeros((N, 6), g.poses.dtype)
 
     # IRLS weights from current (unweighted) robust-factor residuals
-    r_loop_raw = jax.vmap(_between_residual)(
-        g.poses[g.loop_i], g.poses[g.loop_j], g.loop_meas
+    r_loop_raw = jax.vmap(_between_residual_masked)(
+        g.poses[g.loop_i], g.poses[g.loop_j], g.loop_meas, g.loop_valid
     ) / cfg.loop_sigma
     loop_r2 = jnp.sum(r_loop_raw * r_loop_raw, axis=-1)
     loop_w = 1.0 / (1.0 + loop_r2 / (cfg.loop_cauchy_k**2))

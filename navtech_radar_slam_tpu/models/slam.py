@@ -110,8 +110,9 @@ def _make_loop_pipeline(cfg: SlamConfig):
     query) -> (LoopCandidate, IcpResult).  search_mode selects the
     whole-bank correlation or the reference's two-stage ring-key pipeline."""
 
-    def fn(bank_desc, ring_keys, clouds, clouds_valid, poses_se2, q_xy,
+    def fn(bank_desc, ring_keys, clouds, clouds_valid, poses_se3, q_xy,
            q_valid, q_desc, num_kf):
+        poses_se2 = geo.se3_to_se2(poses_se3)
         if cfg.scancontext.search_mode == "ringkey":
             cand = sc_ops.detect_loop_ringkey(
                 q_desc, bank_desc, ring_keys, num_kf, cfg.scancontext
@@ -128,9 +129,47 @@ def _make_loop_pipeline(cfg: SlamConfig):
 def _make_verify_pipeline(cfg: SlamConfig):
     """Jitted submap+ICP only (used after a sharded bank search)."""
 
-    def fn(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid, num_kf):
+    def fn(cand, clouds, clouds_valid, poses_se3, q_xy, q_valid, num_kf):
+        poses_se2 = geo.se3_to_se2(poses_se3)
         return _verify_candidate(cand, clouds, clouds_valid, poses_se2,
                                  q_xy, q_valid, num_kf, cfg)
+
+    return jax.jit(fn)
+
+
+def _make_kf_insert(cfg: SlamConfig):
+    """One jitted program for the whole keyframe insert: cloud + ScanContext
+    descriptor + ring key into their banks, graph node append with the
+    odometry Between measurement (iSAM2 init semantics, cpp:497-524).
+
+    Fusing this keeps the streaming host loop to a single dispatch per
+    keyframe — the reference's mutex-guarded vector push_backs (cpp:486-495)
+    become one functional update of device-resident state.  The descriptor
+    is computed by the (engine-shared) _make_desc jit and passed in, so the
+    mesh-sharded and single-device engines insert bit-identical banks."""
+
+    def fn(clouds, clouds_valid, bank, ring_keys, g, k, xy, valid, desc,
+           odo_pose_se2, prev_odo_se2, has_odom):
+        clouds = clouds.at[k].set(xy)
+        clouds_valid = clouds_valid.at[k].set(valid)
+        bank = bank.at[k].set(desc)
+        ring_keys = ring_keys.at[k].set(sc_ops.ring_key(desc))
+
+        meas = geo.se2_to_se3(geo.se2_between(prev_odo_se2, odo_pose_se2))
+        pose_abs = geo.se2_to_se3(odo_pose_se2)
+        # initialize from the optimized previous pose composed with the
+        # odometry increment; session starts / node 0 use the absolute pose
+        prev_opt = g.poses[jnp.maximum(k - 1, 0)]
+        init = jnp.where(has_odom, prev_opt @ meas, pose_abs)
+        g = g._replace(
+            poses=g.poses.at[k].set(init),
+            num_nodes=(k + 1).astype(jnp.int32),
+            odom_meas=g.odom_meas.at[k].set(
+                jnp.where(has_odom, meas, jnp.eye(4, dtype=meas.dtype))
+            ),
+            odom_valid=g.odom_valid.at[k].set(has_odom),
+        )
+        return clouds, clouds_valid, bank, ring_keys, g
 
     return jax.jit(fn)
 
@@ -196,6 +235,11 @@ class SlamEngine:
             self._solve_full = pg.make_solver(c.pgo)
         self._loop_pipeline = _make_loop_pipeline(c)
         self._verify_pipeline = _make_verify_pipeline(c)
+        self._kf_insert = _make_kf_insert(c)
+        self._last_pose_se2 = jax.jit(lambda poses, k: geo.se3_to_se2(poses[k]))
+        #: host cache of the latest optimized keyframe pose (refreshed once
+        #: per keyframe; poses only change on keyframe solves)
+        self._cur_pose: Optional[np.ndarray] = None
         self._make_desc = jax.jit(
             lambda xy, valid: sc_ops.make_scancontext(
                 xy, jnp.zeros(xy.shape[0]), valid, c.scancontext
@@ -261,6 +305,7 @@ class SlamEngine:
         self.num_keyframes = P
         self.session_start = P
         self._rebased = False
+        self._cur_pose = None
 
     # -- per-scan entry -----------------------------------------------------
 
@@ -284,8 +329,10 @@ class SlamEngine:
             # re-seeded, no relative motion available yet
             return self.current_pose()
 
-        # keyframe gate: accumulated translation (cpp:455-470)
-        rel = np.asarray(self.odometry.last_result.rel_pose)
+        # keyframe gate: accumulated translation (cpp:455-470); integrate the
+        # increment actually applied to the odometry pose (host copy — no
+        # device fetch)
+        rel = self.odometry.last_applied_rel
         self.movement_accum += float(np.hypot(rel[0], rel[1]))
         if self.movement_accum > c.keyframes.keyframe_meter_gap:
             self._add_keyframe(pose, feats, timestamp)
@@ -350,29 +397,23 @@ class SlamEngine:
             self._grow_capacity()
             c = self.cfg
 
-        self.clouds = self.clouds.at[k].set(feats.xy)
-        self.clouds_valid = self.clouds_valid.at[k].set(feats.valid)
-        desc = self._make_desc(feats.xy, feats.valid)
-        self.bank = self.bank.at[k].set(desc)
-        self.ring_keys = self.ring_keys.at[k].set(sc_ops.ring_key(desc))
         self.kf_times.append(timestamp)
         self.odom_poses.append(odo_pose.copy())
 
-        # graph node + odometry factor between consecutive keyframes
-        pose_se3 = np.asarray(geo.se2_to_se3(jnp.asarray(odo_pose, jnp.float32)))
-        if k == 0 or k == self.session_start:
-            # session-start node: no odometry edge across the session gap
-            self.graph.add_node(pose_se3)
-        else:
-            prev = jnp.asarray(self.last_kf_pose, jnp.float32)
-            curr = jnp.asarray(odo_pose, jnp.float32)
-            meas = np.asarray(geo.se2_to_se3(geo.se2_between(prev, curr)))
-            # initialize the new node from the *optimized* previous pose
-            # composed with the odometry increment (iSAM2 init semantics,
-            # cpp:497-524)
-            prev_opt = self.graph.poses()[k - 1]
-            init = prev_opt @ meas
-            self.graph.add_node(init, odom_meas=meas)
+        # one fused device program: bank/cloud/ring-key insert + graph node
+        # append with the odometry Between measurement (cpp:486-524)
+        has_odom = not (k == 0 or k == self.session_start)
+        desc = self._make_desc(feats.xy, feats.valid)
+        (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+         self.graph.g) = self._kf_insert(
+            self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+            self.graph.g, jnp.asarray(k, jnp.int32),
+            feats.xy, feats.valid, desc,
+            jnp.asarray(odo_pose, jnp.float32),
+            jnp.asarray(self.last_kf_pose, jnp.float32),
+            jnp.asarray(has_odom),
+        )
+        self.graph.num_nodes = k + 1
         self.last_kf_pose = odo_pose.copy()
         if self._pending_gps is not None and c.pgo.use_gps:
             self.graph.add_gps(k, self._pending_gps)
@@ -381,6 +422,10 @@ class SlamEngine:
 
         if c.do_slam:
             self._maybe_close_loop(k, feats, desc)
+        # refresh the host pose cache from the (possibly re-solved) graph
+        self._cur_pose = np.asarray(jax.device_get(
+            self._last_pose_se2(self.graph.g.poses, jnp.asarray(k, jnp.int32))
+        ), np.float64)
 
     def _maybe_close_loop(self, k: int, feats: ScanFeatures, desc):
         c = self.cfg
@@ -390,32 +435,34 @@ class SlamEngine:
         if k + 1 <= c.scancontext.num_exclude_recent:
             return
 
-        poses_se2 = jnp.asarray(
-            geo.se3_to_se2(jnp.asarray(self.graph.g.poses)), jnp.float32
-        )
         if self._sharded_detect is not None:
             cand = self._sharded_detect(
                 desc, self.bank, jnp.asarray(k + 1, jnp.int32)
             )
             res = self._verify_pipeline(
-                cand, self.clouds, self.clouds_valid, poses_se2,
+                cand, self.clouds, self.clouds_valid, self.graph.g.poses,
                 feats.xy, feats.valid, jnp.asarray(k + 1, jnp.int32),
             )
         else:
             cand, res = self._loop_pipeline(
                 self.bank, self.ring_keys, self.clouds, self.clouds_valid,
-                poses_se2, feats.xy, feats.valid, desc,
+                self.graph.g.poses, feats.xy, feats.valid, desc,
                 jnp.asarray(k + 1, jnp.int32),
             )
-        if bool(cand.found) and bool(res.accepted):
-            prev_idx = int(cand.idx)
-            rel2 = np.asarray(res.rel_pose)
-            meas = np.asarray(geo.se2_to_se3(jnp.asarray(rel2, jnp.float32)))
+        # one fetch for every decision scalar of this keyframe
+        found, accepted, idx, dist, fitness, rel2 = jax.device_get(
+            (cand.found, res.accepted, cand.idx, cand.dist, res.fitness,
+             res.rel_pose)
+        )
+        if bool(found) and bool(accepted):
+            prev_idx = int(idx)
+            rel2 = np.asarray(rel2, np.float64)
+            meas = geo.se2_to_se3_np(rel2).astype(np.float32)
             if not self._rebased and prev_idx < self.session_start <= k:
                 self._rebase_session(prev_idx, k, meas)
             self.graph.add_loop(prev_idx, k, meas)
             self.loops.append(
-                LoopEvent(prev_idx, k, float(cand.dist), float(res.fitness), rel2)
+                LoopEvent(prev_idx, k, float(dist), float(fitness), rel2)
             )
             self._refine_graph(full=True)
         else:
@@ -451,8 +498,12 @@ class SlamEngine:
         """Latest keyframe's optimized pose [x, y, theta]."""
         if self.num_keyframes == 0:
             return np.zeros(3)
-        T = self.graph.poses()[self.num_keyframes - 1]
-        return np.asarray(geo.se3_to_se2(jnp.asarray(T)))
+        if self._cur_pose is None:   # after checkpoint resume / attach
+            self._cur_pose = np.asarray(jax.device_get(self._last_pose_se2(
+                self.graph.g.poses,
+                jnp.asarray(self.num_keyframes - 1, jnp.int32),
+            )), np.float64)
+        return self._cur_pose.copy()
 
     def trajectory(self) -> np.ndarray:
         """(N_kf, 4, 4) optimized keyframe poses (the /aft_pgo_path output,

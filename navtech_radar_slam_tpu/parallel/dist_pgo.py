@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from navtech_radar_slam_tpu.config import PgoConfig
 from navtech_radar_slam_tpu.models.posegraph import (
     GraphArrays,
-    _between_residual,
+    _between_residual_masked,
     _apply_delta,
     _cg_solve,
 )
@@ -62,7 +62,9 @@ def _local_residuals(
     # odometry factors for global edges [base, base+ns): need Pu[base-1 .. )
     gidx = base + jnp.arange(ns)
     prev = jnp.clip(gidx - 1, 0, N - 1)
-    r_odom = jax.vmap(_between_residual)(Pu[prev], Pu[gidx], odom_meas_sh)
+    r_odom = jax.vmap(_between_residual_masked)(
+        Pu[prev], Pu[gidx], odom_meas_sh, odom_valid_sh
+    )
     s_odom = jnp.concatenate(
         [jnp.full((3,), 1.0 / cfg.odom_sigma_trans),
          jnp.full((3,), 1.0 / cfg.odom_sigma_rot)]
@@ -71,7 +73,9 @@ def _local_residuals(
 
     # loop factors: replicated, evaluated once (shard 0)
     on0 = (shard == 0).astype(jnp.float32)
-    r_loop = jax.vmap(_between_residual)(Pu[loop_i], Pu[loop_j], loop_meas)
+    r_loop = jax.vmap(_between_residual_masked)(
+        Pu[loop_i], Pu[loop_j], loop_meas, loop_valid
+    )
     r_loop = (
         r_loop / cfg.loop_sigma
         * (loop_valid * jnp.sqrt(loop_w))[:, None] * on0
@@ -102,8 +106,8 @@ def _sharded_gn_step(
     zero = jnp.zeros((N, 6), poses.dtype)
 
     # IRLS weights (loops replicated; gps local)
-    r_loop_raw = jax.vmap(_between_residual)(
-        poses[loop_i], poses[loop_j], loop_meas
+    r_loop_raw = jax.vmap(_between_residual_masked)(
+        poses[loop_i], poses[loop_j], loop_meas, loop_valid
     ) / cfg.loop_sigma
     loop_w = 1.0 / (1.0 + jnp.sum(r_loop_raw**2, -1) / cfg.loop_cauchy_k**2)
     t = poses[jnp.arange(odom_meas_sh.shape[0]) +

@@ -94,6 +94,48 @@ def se3_to_se2(T):
 
 
 # ---------------------------------------------------------------------------
+# SE(2), host-side numpy variants
+#
+# Over a tunneled TPU every *eager* jnp op costs a host-device round-trip
+# (tens of ms); the streaming SLAM host loop therefore does its tiny
+# per-scan pose bookkeeping in numpy and reserves jnp for jitted programs.
+# ---------------------------------------------------------------------------
+
+def se2_mul_np(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    c, s = np.cos(a[2]), np.sin(a[2])
+    t = a[2] + b[2]
+    return np.asarray(
+        [a[0] + c * b[0] - s * b[1],
+         a[1] + s * b[0] + c * b[1],
+         np.arctan2(np.sin(t), np.cos(t))], np.float64
+    )
+
+
+def se2_between_np(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    c, s = np.cos(a[2]), np.sin(a[2])
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    t = b[2] - a[2]
+    return np.asarray(
+        [c * dx + s * dy, -s * dx + c * dy,
+         np.arctan2(np.sin(t), np.cos(t))], np.float64
+    )
+
+
+def se2_to_se3_np(p: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    c, s = np.cos(p[2]), np.sin(p[2])
+    T = np.eye(4, dtype=np.float64)
+    T[0, 0], T[0, 1], T[1, 0], T[1, 1] = c, -s, s, c
+    T[0, 3], T[1, 3] = p[0], p[1]
+    return T
+
+
+# ---------------------------------------------------------------------------
 # SO(3)
 # ---------------------------------------------------------------------------
 
@@ -146,7 +188,10 @@ def so3_log(R):
     # near pi: use diagonal formulation  w = theta * axis,  axis from R+I columns
     B = (R + jnp.eye(3, dtype=R.dtype)) * 0.5  # = axis axis^T near pi (approx)
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    axis = jnp.sqrt(jnp.clip(diag, 0.0, None))
+    # floor strictly above 0: sqrt' is infinite at 0 and this log is
+    # differentiated by the pose-graph GN solver — an exactly-pi rotation
+    # (diag entry exactly 0) would otherwise emit NaN in the backward pass
+    axis = jnp.sqrt(jnp.clip(diag, 1e-10, None))
     # fix signs using off-diagonals relative to largest axis component
     signs = jnp.sign(
         jnp.stack(
