@@ -15,10 +15,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Wall-clock budget: always print the JSON line before a driver-side timeout
+# can hit.  First-ever TPU compile of the batched program costs ~5 min over
+# the tunneled device; once the persistent compile cache is warm it is
+# seconds.  If the budget would be blown, we skip the batched section and
+# report the single-stream number.
+_BUDGET_S = float(os.environ.get("NRS_BENCH_BUDGET_S", "480"))
+_T_START = time.time()
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T_START)
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -77,29 +90,37 @@ def main():
 
     # batched (data-parallel) front-end: B independent streams in one
     # program — the chip-throughput shape for fleet/reprocessing workloads
-    B = 32
-    bstep = odo_mod.make_batched_odometry_step(cfg)
-    bscans = jnp.stack([scans[i % len(scans)] for i in range(B)])
-    bcarry = jax.vmap(lambda p: odo_mod.extract_scan_features(p, azimuths, cfg))(
-        bscans
-    )
-    btwist = jnp.zeros((B, 3), jnp.float32)
-    t0 = time.time()
-    bcarry, bres, _ = bstep(bscans, azimuths, bcarry, btwist)
-    bres.rel_pose.block_until_ready()
-    log(f"batched compile: {time.time() - t0:.1f}s")
-    for _ in range(3):
-        bcarry, bres, _ = bstep(bscans, azimuths, bcarry, bres.rel_pose)
-    bres.rel_pose.block_until_ready()
-    biters = 20
-    t0 = time.time()
-    for _ in range(biters):
-        bcarry, bres, _ = bstep(bscans, azimuths, bcarry, bres.rel_pose)
-    bres.rel_pose.block_until_ready()
-    bdt = time.time() - t0
-    bfps = biters * B / bdt
-    log(f"batched B={B}: {bfps:.1f} frames/s aggregate "
-        f"({1e3 * bdt / biters:.2f} ms/batch-step)")
+    bfps = 0.0
+    if _remaining() > 60.0:
+        try:
+            B = 32
+            bstep = odo_mod.make_batched_odometry_step(cfg)
+            bscans = jnp.stack([scans[i % len(scans)] for i in range(B)])
+            bcarry = jax.vmap(
+                lambda p: odo_mod.extract_scan_features(p, azimuths, cfg)
+            )(bscans)
+            btwist = jnp.zeros((B, 3), jnp.float32)
+            t0 = time.time()
+            bcarry, bres, _ = bstep(bscans, azimuths, bcarry, btwist)
+            bres.rel_pose.block_until_ready()
+            log(f"batched compile: {time.time() - t0:.1f}s")
+            for _ in range(3):
+                bcarry, bres, _ = bstep(bscans, azimuths, bcarry, bres.rel_pose)
+            bres.rel_pose.block_until_ready()
+            biters = 20
+            t0 = time.time()
+            for _ in range(biters):
+                bcarry, bres, _ = bstep(bscans, azimuths, bcarry, bres.rel_pose)
+            bres.rel_pose.block_until_ready()
+            bdt = time.time() - t0
+            bfps = biters * B / bdt
+            log(f"batched B={B}: {bfps:.1f} frames/s aggregate "
+                f"({1e3 * bdt / biters:.2f} ms/batch-step)")
+        except Exception as e:  # never lose the JSON line to the batched path
+            log(f"batched section failed ({type(e).__name__}: {e}); "
+                "reporting single-stream")
+    else:
+        log("skipping batched section (wall-clock budget)")
 
     best = max(fps, bfps)
     print(json.dumps({
