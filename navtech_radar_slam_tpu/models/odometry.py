@@ -181,6 +181,48 @@ def make_odometry_step(cfg: SlamConfig):
     return jax.jit(functools.partial(odometry_step, cfg=cfg))
 
 
+def make_odometry_sequence(cfg: SlamConfig):
+    """Device-side streaming odometry: ONE dispatch advances a whole chunk
+    of S consecutive scans with `lax.scan` over the odometry step.
+
+    The host per-scan loop pays one dispatch + one (ok, rel) fetch per scan
+    — over a tunneled/remote device that round-trip dominates the step time.
+    Scanning on device amortizes it to one dispatch + one fetch per *chunk*,
+    so sequential (carry-dependent) throughput approaches chip speed; the
+    reference has no analogue (its file loop is host-bound by design,
+    README.md:27).
+
+    Returns jitted
+        (powers (S, NA, NB), azimuths (NA,), prev: ScanFeatures,
+         twist (3,), coast ()) ->
+        (prev', twist', coast', rels (S, 3), oks (S,), num_inliers (S,))
+
+    `rels[i]` is the increment to apply at scan i (the registration result
+    when ok, else the constant-velocity coast — zeroed once the coast
+    exceeds cfg.registration.max_coast_frames, matching
+    RadarOdometry.process's host semantics); compose poses on host in f64.
+    """
+    max_coast = cfg.registration.max_coast_frames
+
+    def seq(powers, azimuths, prev, twist, coast):
+        def body(carry, power):
+            prev, twist, coast = carry
+            curr, res, _ = odometry_step(power, azimuths, prev, twist, cfg)
+            coast = jnp.where(res.ok, 0, coast + 1)
+            applied = jnp.where(
+                res.ok, res.rel_pose,
+                jnp.where(coast > max_coast, jnp.zeros(3, twist.dtype), twist),
+            )
+            return (curr, applied, coast), (applied, res.ok, res.num_inliers)
+
+        (prev, twist, coast), (rels, oks, ninl) = jax.lax.scan(
+            body, (prev, twist, coast), powers
+        )
+        return prev, twist, coast, rels, oks, ninl
+
+    return jax.jit(seq)
+
+
 def make_batched_odometry_step(cfg: SlamConfig):
     """Data-parallel front-end: one jitted program advancing B independent
     scan streams at once — vmap over the full odometry step.

@@ -43,3 +43,43 @@ def test_odometry_short_sequence():
     ate = np.sqrt((np.linalg.norm(err, axis=1) ** 2).mean())
     path_len = np.sum(np.linalg.norm(np.diff(gt[:, :2], axis=0), axis=1))
     assert ate < 0.05 * path_len, f"ATE {ate:.3f} m over {path_len:.1f} m path"
+
+
+def test_odometry_sequence_matches_stepwise():
+    """Device-side lax.scan streaming == host per-scan stepping."""
+    import dataclasses
+
+    from navtech_radar_slam_tpu.models import odometry as odo_mod
+
+    cfg = SlamConfig()
+    cfg = cfg.replace(
+        features=dataclasses.replace(
+            cfg.features, max_features=256, max_matches=128
+        ),
+        registration=dataclasses.replace(
+            cfg.registration, spectral_top_k=128, gnc_max_iters=8,
+            cote_iters=4, refine_iters=4,
+        ),
+    )
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.random_trajectory(6, speed=4.0, seed=7)
+    scans = [sim.render(gt[i], noise_seed=200 + i) for i in range(len(gt))]
+
+    # reference: host stepping
+    odo = RadarOdometry(cfg)
+    rels_step = []
+    for s in scans:
+        odo.process(s)
+        rels_step.append(odo.last_applied_rel.copy())
+    rels_step = np.asarray(rels_step[1:])  # first scan seeds the carry
+
+    # device-side sequence over the same scans
+    az = jnp.asarray(odo.default_azimuths())
+    prev = odo_mod.extract_scan_features(jnp.asarray(scans[0]), az, cfg)
+    seq = odo_mod.make_odometry_sequence(cfg)
+    powers = jnp.stack([jnp.asarray(s) for s in scans[1:]])
+    _, _, _, rels, oks, _ = seq(
+        powers, az, prev, jnp.zeros(3, jnp.float32), jnp.asarray(0, jnp.int32)
+    )
+    assert bool(np.asarray(oks).all())
+    np.testing.assert_allclose(np.asarray(rels), rels_step, rtol=0, atol=1e-5)
