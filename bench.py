@@ -47,6 +47,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(x):
+    """True device sync: fetch the (small) array to host.
+
+    On the tunneled axon backend `block_until_ready` returns before remote
+    execution completes; only a device_get is a reliable completion fence.
+    The synced leaves here are a few floats, so transfer cost is nil."""
+    return jax.device_get(x)
+
+
 def main():
     from navtech_radar_slam_tpu.config import SlamConfig
     from navtech_radar_slam_tpu.data import RadarSimulator
@@ -70,19 +79,19 @@ def main():
     t0 = time.time()
     carry = extract(scans[0], azimuths)
     carry, res, _ = step(scans[1], azimuths, carry, twist)
-    res.rel_pose.block_until_ready()
+    _sync(res.rel_pose)
     log(f"compile+first step: {time.time() - t0:.1f}s on {jax.devices()[0]}")
 
     # warm up
     for i in range(2, 5):
         carry, res, _ = step(scans[i % len(scans)], azimuths, carry, twist)
-    res.rel_pose.block_until_ready()
+    _sync(res.rel_pose)
 
     iters = 40
     t0 = time.time()
     for i in range(iters):
         carry, res, _ = step(scans[i % len(scans)], azimuths, carry, res.rel_pose)
-    res.rel_pose.block_until_ready()
+    _sync(res.rel_pose)
     dt = time.time() - t0
     fps = iters / dt
 
@@ -101,20 +110,20 @@ def main():
             carry_s, tw, coast, rels, oks, _ = seq(
                 powers, azimuths, carry, jnp.zeros(3, jnp.float32), coast
             )
-            rels.block_until_ready()
+            _sync(rels)
             log(f"sequence compile: {time.time() - t0:.1f}s")
             for _ in range(2):
                 carry_s, tw, coast, rels, oks, _ = seq(
                     powers, azimuths, carry_s, tw, coast
                 )
-            rels.block_until_ready()
+            _sync(rels)
             siters = 8
             t0 = time.time()
             for _ in range(siters):
                 carry_s, tw, coast, rels, oks, _ = seq(
                     powers, azimuths, carry_s, tw, coast
                 )
-            rels.block_until_ready()
+            _sync(rels)
             sdt = time.time() - t0
             sfps = siters * S / sdt
             log(f"sequence S={S}: {sfps:.1f} frames/s streaming "
@@ -138,16 +147,16 @@ def main():
             btwist = jnp.zeros((B, 3), jnp.float32)
             t0 = time.time()
             bcarry, bres, _ = bstep(bscans, azimuths, bcarry, btwist)
-            bres.rel_pose.block_until_ready()
+            _sync(bres.rel_pose)
             log(f"batched compile: {time.time() - t0:.1f}s")
             for _ in range(3):
                 bcarry, bres, _ = bstep(bscans, azimuths, bcarry, bres.rel_pose)
-            bres.rel_pose.block_until_ready()
+            _sync(bres.rel_pose)
             biters = 20
             t0 = time.time()
             for _ in range(biters):
                 bcarry, bres, _ = bstep(bscans, azimuths, bcarry, bres.rel_pose)
-            bres.rel_pose.block_until_ready()
+            _sync(bres.rel_pose)
             bdt = time.time() - t0
             bfps = biters * B / bdt
             log(f"batched B={B}: {bfps:.1f} frames/s aggregate "

@@ -59,11 +59,11 @@ def bench_bank_search(d, per_device=2048, iters=20):
     detect = make_sharded_loop_detector(m, cfg)
     nv = jnp.asarray(N)
     r = detect(query, bank, nv)
-    jax.block_until_ready(r)
+    jax.device_get(jax.tree_util.tree_leaves(r)[0])
     t0 = time.time()
     for _ in range(iters):
         r = detect(query, bank, nv)
-    jax.block_until_ready(r)
+    jax.device_get(jax.tree_util.tree_leaves(r)[0])
     return (time.time() - t0) / iters
 
 
@@ -105,11 +105,11 @@ def bench_dist_pgo(d, per_device=1024, iters=5):
     )
     solver = make_distributed_solver(m, cfg)
     p = solver(g)
-    p.block_until_ready()
+    jax.device_get(p[0, 0])
     t0 = time.time()
     for _ in range(iters):
         p = solver(g)
-    p.block_until_ready()
+    jax.device_get(p[0, 0])
     return (time.time() - t0) / iters
 
 

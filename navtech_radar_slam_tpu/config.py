@@ -69,6 +69,10 @@ class FeatureConfig:
     peak_zq: float = 3.0
     #: static feature capacity (padded; validity-masked)
     max_features: int = 1024
+    #: peak selection recall target: < 1.0 uses the TPU-native tiled
+    #: approximate top-k (lax.approx_max_k; exact on CPU) — the weakest
+    #: ~2-5 % of peaks may be dropped; 1.0 forces the exact global sort
+    topk_recall: float = 0.95
     #: Cartesian image used for descriptors
     cart_size: int = 512
     cart_resolution: float = 0.5  # m / pixel  (512 px -> 256 m square)

@@ -90,21 +90,44 @@ def _with_xy(feats: ScanFeatures, xy: jnp.ndarray,
     )
 
 
-def deskew_features(feats: ScanFeatures, twist: jnp.ndarray,
-                    cfg: SlamConfig) -> ScanFeatures:
-    """De-skewed view of a raw feature set (descriptors rebuilt).
-
-    Doppler is undone first (it acts on the measured range along each beam
-    at the ray's own sample time), then the motion skew re-expresses all
-    rays in the sweep-start frame."""
-    xy = feats.xy
+def _deskew_xy(xy: jnp.ndarray, frac: jnp.ndarray, twist: jnp.ndarray,
+               cfg: SlamConfig) -> jnp.ndarray:
+    """Positions-only de-skew: Doppler is undone first (it acts on the
+    measured range along each beam at the ray's own sample time), then the
+    motion skew re-expresses all rays in the sweep-start frame."""
     if cfg.features.doppler_compensation:
         xy = doppler_compensate(
             xy, twist, cfg.features.doppler_beta, cfg.radar.scan_rate_hz
         )
     if cfg.features.motion_compensation:
-        xy = motion_compensate(xy, feats.ray_frac, twist)
+        xy = motion_compensate(xy, frac, twist)
+    return xy
+
+
+def deskew_features(feats: ScanFeatures, twist: jnp.ndarray,
+                    cfg: SlamConfig) -> ScanFeatures:
+    """De-skewed view of a raw feature set (descriptors rebuilt)."""
+    xy = _deskew_xy(feats.xy, feats.ray_frac, twist, cfg)
     return _with_xy(feats, xy, cfg.features)
+
+
+def deskew_matches(matches, twist: jnp.ndarray, cfg: SlamConfig):
+    """De-skew an already-matched correspondence set in place.
+
+    Matching is done ONCE on the raw descriptors (the upstream yeti design:
+    data association does not change across de-skew refinements — only the
+    matched point geometry does), so each refinement is a cheap (M, 2)
+    transform + re-registration instead of a full descriptor rebuild +
+    re-match over K² pairs."""
+    src = _deskew_xy(matches.src_xy, matches.src_frac, twist, cfg)
+    dst = _deskew_xy(matches.dst_xy, matches.dst_frac, twist, cfg)
+    v = matches.valid
+    return matches._replace(
+        src_xy=jnp.where(v[:, None], src, 0.0),
+        dst_xy=jnp.where(v[:, None], dst, 0.0),
+        src_range=jnp.linalg.norm(src, axis=-1) * v,
+        dst_range=jnp.linalg.norm(dst, axis=-1) * v,
+    )
 
 
 def extract_scan_features(power: jnp.ndarray, azimuths: jnp.ndarray,
@@ -129,13 +152,18 @@ def extract_scan_features(power: jnp.ndarray, azimuths: jnp.ndarray,
     )
 
 
+def match_feature_pair(prev: ScanFeatures, curr: ScanFeatures,
+                       cfg: SlamConfig) -> features.MatchSet:
+    return features.match_features(
+        prev.desc, curr.desc, prev.xy, curr.xy, prev.valid, curr.valid,
+        cfg.features, prev.ray_frac, curr.ray_frac,
+    )
+
+
 def register_feature_pair(
     prev: ScanFeatures, curr: ScanFeatures, cfg: SlamConfig
 ) -> registration.RegistrationResult:
-    matches = features.match_features(
-        prev.desc, curr.desc, prev.xy, curr.xy, prev.valid, curr.valid,
-        cfg.features,
-    )
+    matches = match_feature_pair(prev, curr, cfg)
     return registration.register_scans(matches, cfg.registration)
 
 
@@ -150,30 +178,40 @@ def odometry_step(
     Returns (raw carry, result, de-skewed features for downstream use).
 
     With motion compensation on, the yeti-style iterate runs entirely
-    inside the step: register raw/raw for a seed twist, then de-skew BOTH
-    scans with the shared (constant-velocity) twist estimate, rebuild their
-    descriptors and re-register — twice.  The carry stays RAW, so twist
-    errors never feed forward between frames.
+    inside the step: match ONCE on raw descriptors (association is stable
+    under de-skew — the upstream yeti design), register for a seed twist,
+    then de-skew the matched correspondence set with the shared
+    (constant-velocity) twist estimate and re-register — twice.  Each
+    refinement costs an (M, 2) transform + the robust solve instead of a
+    K² descriptor rebuild + re-match.  The carry stays RAW, so twist errors
+    never feed forward between frames.
 
     Pure function of (scan, carry) -> (carry', result); jit it once and feed
     scans — the reference's file-driven per-scan loop (SURVEY §3.5) becomes
     repeated invocation of this compiled program."""
     curr = extract_scan_features(power, azimuths, cfg)
-    res = register_feature_pair(prev, curr, cfg)
+    matches = match_feature_pair(prev, curr, cfg)
+    res = registration.register_scans(matches, cfg.registration)
     if not (cfg.features.motion_compensation
             or cfg.features.doppler_compensation):
         return curr, res, curr
 
     t = jnp.where(res.ok, res.rel_pose, twist)
-    curr_d = curr
     for _ in range(2):
-        prev_d = deskew_features(prev, t, cfg)
-        curr_d = deskew_features(curr, t, cfg)
-        res = register_feature_pair(prev_d, curr_d, cfg)
+        m_d = deskew_matches(matches, t, cfg)
+        res = registration.register_scans(m_d, cfg.registration)
         t = jnp.where(res.ok, res.rel_pose, t)
-    # carry stays raw; the de-skewed view is what downstream consumers
-    # (keyframe store, ScanContext, ICP) should see
-    return curr, res, curr_d
+    # carry stays raw; the de-skewed positions are what downstream consumers
+    # (keyframe store, ScanContext, ICP) see.  Descriptors are NOT rebuilt:
+    # no downstream consumer reads curr_out.desc (the SC descriptor bank is
+    # built from positions by the engine's _make_desc).
+    curr_out = curr._replace(
+        xy=_deskew_xy(curr.xy, curr.ray_frac, t, cfg)
+    )
+    curr_out = curr_out._replace(
+        ranges=jnp.linalg.norm(curr_out.xy, axis=-1)
+    )
+    return curr, res, curr_out
 
 
 def make_odometry_step(cfg: SlamConfig):
@@ -181,7 +219,7 @@ def make_odometry_step(cfg: SlamConfig):
     return jax.jit(functools.partial(odometry_step, cfg=cfg))
 
 
-def make_odometry_sequence(cfg: SlamConfig):
+def make_odometry_sequence(cfg: SlamConfig, return_features: bool = False):
     """Device-side streaming odometry: ONE dispatch advances a whole chunk
     of S consecutive scans with `lax.scan` over the odometry step.
 
@@ -201,24 +239,33 @@ def make_odometry_sequence(cfg: SlamConfig):
     when ok, else the constant-velocity coast — zeroed once the coast
     exceeds cfg.registration.max_coast_frames, matching
     RadarOdometry.process's host semantics); compose poses on host in f64.
+
+    With ``return_features=True`` two trailing outputs are appended:
+    per-scan de-skewed feature positions (S, K, 2) and validity (S, K) —
+    what keyframing / ScanContext / ICP consume (SlamEngine.process_chunk).
     """
     max_coast = cfg.registration.max_coast_frames
 
     def seq(powers, azimuths, prev, twist, coast):
         def body(carry, power):
             prev, twist, coast = carry
-            curr, res, _ = odometry_step(power, azimuths, prev, twist, cfg)
+            curr, res, curr_out = odometry_step(power, azimuths, prev, twist, cfg)
             coast = jnp.where(res.ok, 0, coast + 1)
             applied = jnp.where(
                 res.ok, res.rel_pose,
                 jnp.where(coast > max_coast, jnp.zeros(3, twist.dtype), twist),
             )
-            return (curr, applied, coast), (applied, res.ok, res.num_inliers)
+            out = (applied, res.ok, res.num_inliers)
+            if return_features:
+                # de-skewed positions: what keyframing / ScanContext / ICP
+                # consume (matches the host path's curr_out)
+                out = out + (curr_out.xy, curr_out.valid)
+            return (curr, applied, coast), out
 
-        (prev, twist, coast), (rels, oks, ninl) = jax.lax.scan(
+        (prev, twist, coast), outs = jax.lax.scan(
             body, (prev, twist, coast), powers
         )
-        return prev, twist, coast, rels, oks, ninl
+        return (prev, twist, coast) + tuple(outs)
 
     return jax.jit(seq)
 

@@ -322,7 +322,7 @@ class SlamEngine:
         self.num_scans += 1
 
         if self.num_scans == 1:
-            self._add_keyframe(pose, feats, timestamp)
+            self._add_keyframe(pose, feats.xy, feats.valid, timestamp)
             return self.current_pose()
         if self.odometry.last_result is None:
             # first scan after a checkpoint resume: odometry carry was just
@@ -335,8 +335,80 @@ class SlamEngine:
         rel = self.odometry.last_applied_rel
         self.movement_accum += float(np.hypot(rel[0], rel[1]))
         if self.movement_accum > c.keyframes.keyframe_meter_gap:
-            self._add_keyframe(pose, feats, timestamp)
+            self._add_keyframe(pose, feats.xy, feats.valid, timestamp)
             self.movement_accum = 0.0
+        return self.current_pose()
+
+    def process_chunk(self, powers, azimuths=None,
+                      timestamps=None) -> np.ndarray:
+        """Feed S consecutive scans in ONE device dispatch (streaming mode).
+
+        Odometry for the whole chunk runs device-side via
+        make_odometry_sequence (lax.scan over the registration step), so the
+        per-scan dispatch + fetch round-trips of process() collapse to one
+        per chunk; keyframing, loop closure and PGO then run per keyframe
+        exactly as in process().  Semantically equivalent to S process()
+        calls (same gate, same coast fallback); returns the optimized pose
+        after the last scan.  Chunks of a fixed S avoid re-jits."""
+        from navtech_radar_slam_tpu.models import odometry as odo_mod
+
+        c = self.cfg
+        odo = self.odometry
+        powers = jnp.asarray(powers)
+        S = powers.shape[0]
+        if timestamps is None:
+            timestamps = [0.0] * S
+        if azimuths is None:
+            if odo._az_dev is None:
+                odo._az_dev = jnp.asarray(odo.default_azimuths())
+            az = odo._az_dev
+        else:
+            az = jnp.asarray(azimuths)
+        if getattr(self, "_seq", None) is None:
+            self._seq = odo_mod.make_odometry_sequence(
+                c, return_features=True
+            )
+
+        # Seed the carry from scan 0 when this is the very first scan; scan 0
+        # then registers against itself inside the chunk (identity increment)
+        # and becomes the first keyframe, matching process()'s behavior.
+        seeded = odo.prev is None
+        if seeded:
+            odo.prev = odo._extract(powers[0], az)
+
+        (odo.prev, _, coast_dev, rels, oks, _, xys, valids) = self._seq(
+            powers, az, odo.prev,
+            jnp.asarray(odo.last_rel, jnp.float32),
+            jnp.asarray(odo._coast, jnp.int32),
+        )
+        rels_h, oks_h, coast_h = jax.device_get((rels, oks, coast_dev))
+        rels_h = np.asarray(rels_h, np.float64)
+
+        for i in range(S):
+            odo.num_scans += 1
+            self.num_scans += 1
+            if seeded and i == 0:
+                # mirror process()'s first-scan branch exactly: keyframe 0 is
+                # added without resetting movement_accum (still 1e6, so the
+                # next scan passes the gate too — reference init semantics,
+                # laserPosegraphOptimization.cpp:63)
+                self._add_keyframe(odo.pose.copy(), xys[0], valids[0],
+                                   timestamps[0])
+                continue
+            ok = bool(oks_h[i])
+            odo.last_ok = ok
+            if not ok:
+                odo.num_failures += 1
+            rel = rels_h[i]
+            odo.last_rel = rel.copy()
+            odo.last_applied_rel = rel.copy()
+            odo.pose = geo.se2_mul_np(odo.pose, rel)
+            self.movement_accum += float(np.hypot(rel[0], rel[1]))
+            if self.movement_accum > c.keyframes.keyframe_meter_gap:
+                self._add_keyframe(odo.pose.copy(), xys[i], valids[i],
+                                   timestamps[i])
+                self.movement_accum = 0.0
+        odo._coast = int(coast_h)
         return self.current_pose()
 
     # -- keyframe path ------------------------------------------------------
@@ -387,8 +459,8 @@ class SlamEngine:
         self._loop_pipeline = _make_loop_pipeline(c)
         self._verify_pipeline = _make_verify_pipeline(c)
 
-    def _add_keyframe(self, odo_pose: np.ndarray, feats: ScanFeatures,
-                      timestamp: float):
+    def _add_keyframe(self, odo_pose: np.ndarray, xy: jnp.ndarray,
+                      valid: jnp.ndarray, timestamp: float):
         c = self.cfg
         k = self.num_keyframes
         if k >= c.keyframes.max_keyframes - 1 or (
@@ -403,12 +475,12 @@ class SlamEngine:
         # one fused device program: bank/cloud/ring-key insert + graph node
         # append with the odometry Between measurement (cpp:486-524)
         has_odom = not (k == 0 or k == self.session_start)
-        desc = self._make_desc(feats.xy, feats.valid)
+        desc = self._make_desc(xy, valid)
         (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
          self.graph.g) = self._kf_insert(
             self.clouds, self.clouds_valid, self.bank, self.ring_keys,
             self.graph.g, jnp.asarray(k, jnp.int32),
-            feats.xy, feats.valid, desc,
+            xy, valid, desc,
             jnp.asarray(odo_pose, jnp.float32),
             jnp.asarray(self.last_kf_pose, jnp.float32),
             jnp.asarray(has_odom),
@@ -421,13 +493,14 @@ class SlamEngine:
         self.num_keyframes = k + 1
 
         if c.do_slam:
-            self._maybe_close_loop(k, feats, desc)
+            self._maybe_close_loop(k, xy, valid, desc)
         # refresh the host pose cache from the (possibly re-solved) graph
         self._cur_pose = np.asarray(jax.device_get(
             self._last_pose_se2(self.graph.g.poses, jnp.asarray(k, jnp.int32))
         ), np.float64)
 
-    def _maybe_close_loop(self, k: int, feats: ScanFeatures, desc):
+    def _maybe_close_loop(self, k: int, xy: jnp.ndarray, valid: jnp.ndarray,
+                          desc):
         c = self.cfg
         if (k + 1) % c.scancontext.detect_every_n_keyframes != 0:
             self._refine_graph(full=False)
@@ -441,12 +514,12 @@ class SlamEngine:
             )
             res = self._verify_pipeline(
                 cand, self.clouds, self.clouds_valid, self.graph.g.poses,
-                feats.xy, feats.valid, jnp.asarray(k + 1, jnp.int32),
+                xy, valid, jnp.asarray(k + 1, jnp.int32),
             )
         else:
             cand, res = self._loop_pipeline(
                 self.bank, self.ring_keys, self.clouds, self.clouds_valid,
-                self.graph.g.poses, feats.xy, feats.valid, desc,
+                self.graph.g.poses, xy, valid, desc,
                 jnp.asarray(k + 1, jnp.int32),
             )
         # one fetch for every decision scalar of this keyframe

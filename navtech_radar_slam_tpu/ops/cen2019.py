@@ -50,27 +50,35 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
 
 
 def _conv_along_range(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 1-D convolution along the range (last) axis, same padding."""
-    lhs = img[None, None, :, :]
-    rhs = kernel[None, None, None, :]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    """Depthwise 1-D convolution along the range (last) axis, same padding.
+
+    Unrolled shift-and-add: a single-channel conv_general_dilated cannot use
+    the MXU (1 input channel) and lowers to a slow windowed reduction on TPU
+    (measured 9.7 ms for the cen2019 score map); T shifted fused
+    multiply-adds on the VPU are bandwidth-bound instead (<1 ms)."""
+    taps = int(kernel.shape[0])
+    r = taps // 2
+    nb = img.shape[-1]
+    padded = jnp.pad(img, [(0, 0)] * (img.ndim - 1) + [(r, r)])
+    out = jnp.zeros_like(img)
+    for t in range(taps):
+        out = out + kernel[t] * jax.lax.slice_in_dim(
+            padded, t, t + nb, axis=img.ndim - 1
+        )
+    return out
 
 
 def _conv_along_azimuth_wrap(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """1-D convolution along azimuth (first) axis with circular wrap."""
-    r = kernel.shape[0] // 2
+    """1-D convolution along azimuth (first) axis with circular wrap
+    (same shift-and-add strategy as _conv_along_range)."""
+    taps = int(kernel.shape[0])
+    r = taps // 2
+    na = img.shape[0]
     wrapped = jnp.concatenate([img[-r:], img, img[:r]], axis=0)
-    lhs = wrapped[None, None, :, :]
-    rhs = kernel[None, None, :, None]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    out = jnp.zeros_like(img)
+    for t in range(taps):
+        out = out + kernel[t] * jax.lax.slice_in_dim(wrapped, t, t + na, axis=0)
+    return out
 
 
 def _segmented_running_max(v: jnp.ndarray, reset: jnp.ndarray, reverse: bool = False):
@@ -124,14 +132,25 @@ def run_peaks(power: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return mask & (v >= run_max) & (m_fwd_excl < v)
 
 
-def _finalize_topk(power: jnp.ndarray, peaks: jnp.ndarray, k: int) -> FeatureSet:
-    return _finalize_topk_scores(jnp.where(peaks, power, -jnp.inf), k)
+def _finalize_topk(power: jnp.ndarray, peaks: jnp.ndarray, k: int,
+                   recall: float = 1.0) -> FeatureSet:
+    return _finalize_topk_scores(jnp.where(peaks, power, -jnp.inf), k, recall)
 
 
-def _finalize_topk_scores(scores2d: jnp.ndarray, k: int) -> FeatureSet:
+def _finalize_topk_scores(scores2d: jnp.ndarray, k: int,
+                          recall: float = 1.0) -> FeatureSet:
     na, nb = scores2d.shape
     scores = scores2d.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    if recall < 1.0:
+        # TPU-native tiled approximate top-k (exact on CPU): the global
+        # top-k of the 1.4M-px score map is a full sort otherwise
+        # (measured 2.9 ms exact vs 1.1 ms approx at 0.98 realized recall;
+        # the tail features it may drop are the weakest peaks).
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=recall
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
     valid = jnp.isfinite(top_scores)
     az = (top_idx // nb).astype(jnp.int32)
     rb = (top_idx % nb).astype(jnp.int32)
@@ -170,7 +189,9 @@ def cen2019_features(
 
         if should_use_pallas():
             scores = cen2019_scores_pallas(power, fcfg, rcfg)
-            return _finalize_topk_scores(scores, fcfg.max_features)
+            return _finalize_topk_scores(
+                scores, fcfg.max_features, fcfg.topk_recall
+            )
 
     region = _valid_region_mask(power.shape, fcfg.min_range_bins, rcfg.num_range_bins)
     s = jnp.where(region, power, 0.0)
@@ -202,7 +223,7 @@ def cen2019_features(
     # rank and report peaks by *smoothed* power: single-bin speckle spikes
     # collapse under the range smoothing while true blobs survive, so the
     # top-k ordering (and any downstream power weighting) is noise-robust
-    return _finalize_topk(s_smooth, peaks, fcfg.max_features)
+    return _finalize_topk(s_smooth, peaks, fcfg.max_features, fcfg.topk_recall)
 
 
 def cen2018_features(
@@ -221,7 +242,7 @@ def cen2018_features(
     mask = (s_smooth > thresh) & region
 
     peaks = run_peaks(s_smooth, mask)
-    return _finalize_topk(s_smooth, peaks, fcfg.max_features)
+    return _finalize_topk(s_smooth, peaks, fcfg.max_features, fcfg.topk_recall)
 
 
 def extract_features(

@@ -165,32 +165,26 @@ def constellation_descriptors(
 
     gx = dx / cell + P / 2 - 0.5
     gy = dy / cell + P / 2 - 0.5
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    wx = gx - x0
-    wy = gy - y0
 
     w = (valid[None, :] & valid[:, None]).astype(jnp.float32)
     w = w * power[None, :]
     # mild radial falloff keeps distant in-window neighbours from dominating
     w = w * jnp.exp(-0.5 * (dx * dx + dy * dy) / (fcfg.desc_window * 0.5) ** 2)
 
-    desc = jnp.zeros((K * P * P,), jnp.float32)
-    center_base = (jnp.arange(K) * P * P)[:, None]
-    for ox, oy, cw in (
-        (0, 0, (1 - wx) * (1 - wy)),
-        (1, 0, wx * (1 - wy)),
-        (0, 1, (1 - wx) * wy),
-        (1, 1, wx * wy),
-    ):
-        xi = x0.astype(jnp.int32) + ox
-        yi = y0.astype(jnp.int32) + oy
-        ok = (xi >= 0) & (xi < P) & (yi >= 0) & (yi < P)
-        flat = center_base + jnp.clip(yi, 0, P - 1) * P + jnp.clip(xi, 0, P - 1)
-        desc = desc.at[flat.reshape(-1)].add(
-            (w * cw * ok).reshape(-1), mode="drop"
-        )
-    desc = desc.reshape(K, P * P)
+    # Bilinear splat as a *separable hat basis* contracted on the MXU:
+    # max(0, 1 - |g - p|) over cell centers p reproduces exactly the two
+    # bilinear tap weights (and zero outside the grid), so
+    #   desc[i, y, x] = sum_j w_ij * hat_y(gy_ij)[y] * hat_x(gx_ij)[x]
+    # is one batched (P, K) @ (K, P) matmul per center.  A scatter-add
+    # formulation of the same splat serializes on duplicate indices on TPU
+    # (measured 37.6 ms vs sub-ms for this contraction on v5e).
+    cells = jnp.arange(P, dtype=jnp.float32)
+    bx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - cells))   # (K, K, P)
+    by = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - cells))
+    desc = jnp.einsum(
+        "ijp,ijq->ipq", by * w[..., None], bx,
+        preferred_element_type=jnp.float32,
+    ).reshape(K, P * P)
     desc = desc - jnp.mean(desc, axis=1, keepdims=True)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     return desc / jnp.maximum(norm, 1e-6)
@@ -205,6 +199,11 @@ class MatchSet(NamedTuple):
     dst_range: jnp.ndarray  # (M,)
     weight: jnp.ndarray    # (M,) match confidence in [0, 1]
     valid: jnp.ndarray     # (M,) bool
+    #: sweep fractions of the matched rays (for in-place de-skew of the
+    #: correspondence set, models.odometry.deskew_matches); None when the
+    #: producer has no ray timing (e.g. synthetic test sets)
+    src_frac: jnp.ndarray = None   # (M,)
+    dst_frac: jnp.ndarray = None   # (M,)
 
 
 def match_features(
@@ -215,6 +214,8 @@ def match_features(
     valid_a: jnp.ndarray,
     valid_b: jnp.ndarray,
     fcfg: FeatureConfig,
+    frac_a: jnp.ndarray = None,
+    frac_b: jnp.ndarray = None,
 ) -> MatchSet:
     """Mutual-nearest + ratio-gated matches via one correlation matmul.
 
@@ -256,4 +257,6 @@ def match_features(
         dst_range=jnp.linalg.norm(dst, axis=-1) * m_valid,
         weight=jnp.where(m_valid, jnp.clip(top_score, 0.0, 1.0), 0.0),
         valid=m_valid,
+        src_frac=None if frac_a is None else frac_a[top_i] * m_valid,
+        dst_frac=None if frac_b is None else frac_b[sel_j] * m_valid,
     )

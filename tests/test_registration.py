@@ -90,3 +90,53 @@ def test_gnc_weights_monotone():
     w = np.asarray(w)
     assert (np.diff(w) <= 1e-6).all()
     assert w[0] == 1.0 and w[-1] == 0.0
+
+
+def test_constellation_descriptor_matches_scatter_reference():
+    """The MXU hat-basis contraction reproduces the bilinear scatter splat
+    exactly (the scatter formulation serializes on TPU; this is the fast
+    path's correctness anchor)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from navtech_radar_slam_tpu.config import FeatureConfig
+    from navtech_radar_slam_tpu.ops import features as F
+
+    fcfg = FeatureConfig(max_features=48, desc_grid=8, desc_window=48.0)
+    rng = np.random.default_rng(3)
+    K, P, window = 48, fcfg.desc_grid, fcfg.desc_window
+    xy = rng.uniform(-60, 60, (K, 2)).astype(np.float32)
+    power = rng.uniform(0.1, 1.0, K).astype(np.float32)
+    valid = rng.random(K) > 0.25
+
+    cell = window / P
+    want = np.zeros((K, P, P), np.float64)
+    rngs = np.linalg.norm(xy, axis=-1)
+    c = np.where(rngs > 1e-6, xy[:, 0] / np.maximum(rngs, 1e-6), 1.0)
+    s = np.where(rngs > 1e-6, xy[:, 1] / np.maximum(rngs, 1e-6), 0.0)
+    for i in range(K):
+        for j in range(K):
+            if not (valid[i] and valid[j]):
+                continue
+            d = xy[j] - xy[i]
+            dx = c[i] * d[0] + s[i] * d[1]
+            dy = -s[i] * d[0] + c[i] * d[1]
+            w = power[j] * np.exp(-0.5 * (dx * dx + dy * dy) / (window * 0.5) ** 2)
+            gx = dx / cell + P / 2 - 0.5
+            gy = dy / cell + P / 2 - 0.5
+            x0, y0 = int(np.floor(gx)), int(np.floor(gy))
+            wx, wy = gx - x0, gy - y0
+            for ox, oy, cw in ((0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
+                               (0, 1, (1 - wx) * wy), (1, 1, wx * wy)):
+                xi, yi = x0 + ox, y0 + oy
+                if 0 <= xi < P and 0 <= yi < P:
+                    want[i, yi, xi] += w * cw
+    want = want.reshape(K, P * P)
+    want = want - want.mean(1, keepdims=True)
+    n = np.linalg.norm(want, axis=1, keepdims=True)
+    want = want / np.maximum(n, 1e-6)
+
+    got = np.asarray(F.constellation_descriptors(
+        jnp.asarray(xy), jnp.asarray(power), jnp.asarray(valid), fcfg
+    ))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)

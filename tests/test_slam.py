@@ -147,3 +147,34 @@ def test_capacity_doubling_growth():
     assert eng.cfg.keyframes.max_keyframes >= 64
     assert len(eng.loops) >= 1
     assert np.isfinite(eng.trajectory()).all()
+
+
+def test_process_chunk_matches_stepwise():
+    """Chunked streaming SLAM == per-scan SLAM: same keyframes, same loops,
+    same trajectory (the odometry sequence kernel is bit-equivalent and the
+    host gate logic is shared)."""
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    n = 24
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    scans = [sim.render(gt[i], noise_seed=i) for i in range(n)]
+
+    eng_a = SlamEngine(cfg)
+    for i, s in enumerate(scans):
+        eng_a.process(s, timestamp=i * 0.25)
+
+    eng_b = SlamEngine(cfg)
+    S = 8
+    for c0 in range(0, n, S):
+        chunk = np.stack(scans[c0:c0 + S])
+        eng_b.process_chunk(
+            chunk, timestamps=[i * 0.25 for i in range(c0, c0 + len(chunk))]
+        )
+
+    assert eng_b.num_keyframes == eng_a.num_keyframes
+    assert len(eng_b.loops) == len(eng_a.loops)
+    ta, tb = eng_a.trajectory(), eng_b.trajectory()
+    np.testing.assert_allclose(
+        tb[: eng_b.num_keyframes], ta[: eng_a.num_keyframes],
+        rtol=0, atol=1e-3,
+    )
