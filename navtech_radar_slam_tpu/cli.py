@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write result_map.png (map + path + loop chords)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard bank + pose graph over the first N devices")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="stream N scans per device dispatch (device-side "
+                        "lax.scan odometry; 0 = per-scan). Incompatible "
+                        "with --use_gps (per-scan association).")
     return p
 
 
@@ -180,9 +184,49 @@ def main(argv=None) -> int:
         else:
             print(f"gps requested but {gps_path} missing; continuing without")
 
+    chunk = max(0, args.chunk)
+    if chunk > 1 and gps is not None:
+        print("--chunk disabled: GPS association is per-scan", file=sys.stderr)
+        chunk = 0
+
     timers = profiling.StageTimers()
     t0 = time.time()
     processed = 0
+    if chunk > 1:
+        buf = []
+        with profiling.device_trace(args.profile_dir):
+            for i, (power, azimuths, ts) in enumerate(stream):
+                if i < start_scan:
+                    continue
+                buf.append((np.asarray(power), np.asarray(azimuths), ts))
+                if len(buf) == chunk or i == total - 1:
+                    with timers.time("slam_chunk"):
+                        eng.process_chunk(
+                            np.stack([b[0] for b in buf]),
+                            np.stack([b[1] for b in buf]),
+                            [b[2] for b in buf],
+                        )
+                    processed += len(buf)
+                    buf = []
+                    if args.status_every and processed % (
+                        args.status_every - args.status_every % chunk or chunk
+                    ) == 0:
+                        pose = eng.current_pose()
+                        print(
+                            f"[{i + 1}/{total}] kf={eng.num_keyframes} "
+                            f"loops={len(eng.loops)} pose=({pose[0]:.1f}, "
+                            f"{pose[1]:.1f}, {pose[2]:.2f}) "
+                            f"{processed / (time.time() - t0):.2f} scans/s"
+                        )
+                    if args.checkpoint_every and processed % max(
+                        chunk, args.checkpoint_every - args.checkpoint_every % chunk
+                    ) == 0:
+                        ckpt.save_engine(
+                            eng, os.path.join(args.output_dir, "checkpoint.npz")
+                        )
+        wall = time.time() - t0
+        return _finalize(args, eng, processed, wall, timers)
+
     with profiling.device_trace(args.profile_dir):
         for i, (power, azimuths, ts) in enumerate(stream):
             if i < start_scan:
@@ -209,6 +253,20 @@ def main(argv=None) -> int:
                 ckpt.save_engine(eng, path)
 
     wall = time.time() - t0
+    return _finalize(args, eng, processed, wall, timers)
+
+
+def _finalize(args, eng, processed, wall, timers) -> int:
+    """Shared run epilogue: stats, trajectory/map export, checkpoint, plot."""
+    import dataclasses
+    import json
+
+    import numpy as np
+
+    from navtech_radar_slam_tpu.data.mulran import save_trajectory_tum
+    from navtech_radar_slam_tpu.utils import checkpoint as ckpt
+    from navtech_radar_slam_tpu.utils import metrics
+
     stats = metrics.RunStats(
         num_scans=eng.num_scans,
         num_keyframes=eng.num_keyframes,

@@ -247,9 +247,17 @@ def make_odometry_sequence(cfg: SlamConfig, return_features: bool = False):
     max_coast = cfg.registration.max_coast_frames
 
     def seq(powers, azimuths, prev, twist, coast):
-        def body(carry, power):
+        # azimuths: (NA,) shared across the chunk, or (S, NA) per scan
+        # (MulRan embeds per-ray encoder angles that differ scan to scan)
+        if azimuths.ndim == 1:
+            azimuths = jnp.broadcast_to(
+                azimuths, (powers.shape[0],) + azimuths.shape
+            )
+
+        def body(carry, xs):
+            power, az = xs
             prev, twist, coast = carry
-            curr, res, curr_out = odometry_step(power, azimuths, prev, twist, cfg)
+            curr, res, curr_out = odometry_step(power, az, prev, twist, cfg)
             coast = jnp.where(res.ok, 0, coast + 1)
             applied = jnp.where(
                 res.ok, res.rel_pose,
@@ -263,7 +271,7 @@ def make_odometry_sequence(cfg: SlamConfig, return_features: bool = False):
             return (curr, applied, coast), out
 
         (prev, twist, coast), outs = jax.lax.scan(
-            body, (prev, twist, coast), powers
+            body, (prev, twist, coast), (powers, azimuths)
         )
         return (prev, twist, coast) + tuple(outs)
 

@@ -363,6 +363,7 @@ class SlamEngine:
                 odo._az_dev = jnp.asarray(odo.default_azimuths())
             az = odo._az_dev
         else:
+            # (NA,) shared or (S, NA) per scan (MulRan encoder angles)
             az = jnp.asarray(azimuths)
         if getattr(self, "_seq", None) is None:
             self._seq = odo_mod.make_odometry_sequence(
@@ -374,7 +375,7 @@ class SlamEngine:
         # and becomes the first keyframe, matching process()'s behavior.
         seeded = odo.prev is None
         if seeded:
-            odo.prev = odo._extract(powers[0], az)
+            odo.prev = odo._extract(powers[0], az[0] if az.ndim == 2 else az)
 
         (odo.prev, _, coast_dev, rels, oks, _, xys, valids) = self._seq(
             powers, az, odo.prev,

@@ -154,3 +154,25 @@ def test_eval_cli(tmp_path):
     out = js.loads(buf.getvalue().strip())
     assert out["pairs"] == n
     assert out["value"] < 0.1, out   # alignment removed the offset
+
+
+def test_cli_chunked_matches_per_scan(tmp_path):
+    """--chunk N produces the same trajectory as per-scan streaming."""
+    from navtech_radar_slam_tpu import cli
+
+    seq_dir, gt = write_sequence(tmp_path, n_scans=7)
+    cfg_path = small_config_file(tmp_path)
+    out_a = tmp_path / "out_scan"
+    out_b = tmp_path / "out_chunk"
+    assert cli.main([
+        "--seq_dir", str(seq_dir), "--config", cfg_path,
+        "--output_dir", str(out_a), "--save_plot", "false",
+    ]) == 0
+    assert cli.main([
+        "--seq_dir", str(seq_dir), "--config", cfg_path,
+        "--output_dir", str(out_b), "--chunk", "3", "--save_plot", "false",
+    ]) == 0
+    ta = np.loadtxt(out_a / "trajectory_tum.txt")
+    tb = np.loadtxt(out_b / "trajectory_tum.txt")
+    assert ta.shape == tb.shape
+    np.testing.assert_allclose(tb[:, 1:4], ta[:, 1:4], atol=1e-3)
