@@ -278,6 +278,50 @@ def make_solver(cfg: PgoConfig):
     return jax.jit(functools.partial(solve, cfg=cfg))
 
 
+def make_bucketed_solver(cfg: PgoConfig):
+    """Solver that runs on the smallest power-of-two *prefix* of the padded
+    arrays that holds the active graph.
+
+    The padded capacity (max_nodes, default 4096) is a growth bound, not the
+    working size; solving at full padding made every per-keyframe refine pay
+    the 4096-node cost (measured 259 ms for a 512-node graph on v5e).  Each
+    bucket size compiles once (log2(capacity) buckets over a run) and the
+    write-back touches only the solved prefix.
+
+    Returns ``solver(g, num_nodes, num_loops) -> GraphArrays`` (host ints;
+    the counts select the bucket, the solve itself stays fully jitted)."""
+    cache = {}
+
+    def solver(g: GraphArrays, num_nodes: int, num_loops: int) -> GraphArrays:
+        N = g.poses.shape[0]
+        L = g.loop_i.shape[0]
+        nb = min(N, max(64, 1 << (max(int(num_nodes), 1) - 1).bit_length()))
+        lb = min(L, max(16, 1 << (max(int(num_loops), 1) - 1).bit_length()))
+        key = (nb, lb, N, L)
+        if key not in cache:
+
+            def run(g: GraphArrays) -> GraphArrays:
+                gs = GraphArrays(
+                    poses=g.poses[:nb],
+                    num_nodes=g.num_nodes,
+                    odom_meas=g.odom_meas[:nb],
+                    odom_valid=g.odom_valid[:nb],
+                    loop_i=g.loop_i[:lb],
+                    loop_j=g.loop_j[:lb],
+                    loop_meas=g.loop_meas[:lb],
+                    loop_valid=g.loop_valid[:lb],
+                    gps_meas=g.gps_meas[:nb],
+                    gps_valid=g.gps_valid[:nb],
+                )
+                gs = solve(gs, cfg)
+                return g._replace(poses=g.poses.at[:nb].set(gs.poses))
+
+            cache[key] = jax.jit(run)
+        return cache[key](g)
+
+    return solver
+
+
 # ---------------------------------------------------------------------------
 # host-side graph builder
 # ---------------------------------------------------------------------------
@@ -290,7 +334,7 @@ class PoseGraph:
     def __init__(self, cfg: PgoConfig):
         self.cfg = cfg
         self.g = empty_graph(cfg)
-        self._solve = make_solver(cfg)
+        self._solve = make_bucketed_solver(cfg)
         self.num_nodes = 0
         self.num_loops = 0
 
@@ -322,7 +366,7 @@ class PoseGraph:
             gps_meas=g.gps_meas.at[:N0].set(old.gps_meas),
             gps_valid=g.gps_valid.at[:N0].set(old.gps_valid),
         )
-        self._solve = make_solver(self.cfg)
+        self._solve = make_bucketed_solver(self.cfg)
 
     def add_node(self, pose_init: np.ndarray, odom_meas: np.ndarray = None):
         """Append node with initial SE(3) pose; odom_meas is T_{prev,this}
@@ -361,7 +405,7 @@ class PoseGraph:
         )
 
     def optimize(self):
-        self.g = self._solve(self.g)
+        self.g = self._solve(self.g, self.num_nodes, self.num_loops)
 
     def poses(self) -> np.ndarray:
         return np.asarray(self.g.poses[: self.num_nodes])

@@ -200,7 +200,7 @@ class SlamEngine:
         self.graph = pg.PoseGraph(c.pgo)
         # fast per-keyframe refinement vs full solve after new loops:
         # the iSAM2-like warm-started pattern
-        fast_cfg = dataclasses.replace(c.pgo, gn_iters=2)
+        fast_cfg = dataclasses.replace(c.pgo, gn_iters=1)
         self._sharded_detect = None
         if mesh is not None and mesh.size > 1:
             from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
@@ -219,8 +219,10 @@ class SlamEngine:
             )
             dist_fast = make_distributed_solver(mesh, fast_cfg)
             dist_full = make_distributed_solver(mesh, c.pgo)
-            self._solve_fast = lambda g: g._replace(poses=dist_fast(g))
-            self._solve_full = lambda g: g._replace(poses=dist_full(g))
+            # the sharded arrays must keep their full (mesh-divisible) shape,
+            # so the distributed path does not bucket; counts are ignored
+            self._solve_fast = lambda g, n, l: g._replace(poses=dist_fast(g))
+            self._solve_full = lambda g, n, l: g._replace(poses=dist_full(g))
             # shard the graph's factor arrays along the node axis
             gg = self.graph.g
             self.graph.g = gg._replace(
@@ -231,8 +233,8 @@ class SlamEngine:
             )
             self.bank = jax.device_put(self.bank, self._bank_sharding)
         else:
-            self._solve_fast = pg.make_solver(fast_cfg)
-            self._solve_full = pg.make_solver(c.pgo)
+            self._solve_fast = pg.make_bucketed_solver(fast_cfg)
+            self._solve_full = pg.make_bucketed_solver(c.pgo)
         self._loop_pipeline = _make_loop_pipeline(c)
         self._verify_pipeline = _make_verify_pipeline(c)
         self._kf_insert = _make_kf_insert(c)
@@ -444,10 +446,10 @@ class SlamEngine:
             self.ring_keys
         )
         self.graph.grow(c.pgo.max_nodes, c.pgo.max_loop_edges)
-        fast_cfg = dataclasses.replace(c.pgo, gn_iters=2)
+        fast_cfg = dataclasses.replace(c.pgo, gn_iters=1)
         if self._sharded_detect is None:
-            self._solve_fast = pg.make_solver(fast_cfg)
-            self._solve_full = pg.make_solver(c.pgo)
+            self._solve_fast = pg.make_bucketed_solver(fast_cfg)
+            self._solve_full = pg.make_bucketed_solver(c.pgo)
         else:
             from navtech_radar_slam_tpu.parallel.dist_pgo import (
                 make_distributed_solver,
@@ -455,8 +457,8 @@ class SlamEngine:
 
             dist_fast = make_distributed_solver(self.mesh, fast_cfg)
             dist_full = make_distributed_solver(self.mesh, c.pgo)
-            self._solve_fast = lambda g: g._replace(poses=dist_fast(g))
-            self._solve_full = lambda g: g._replace(poses=dist_full(g))
+            self._solve_fast = lambda g, n, l: g._replace(poses=dist_fast(g))
+            self._solve_full = lambda g, n, l: g._replace(poses=dist_full(g))
         self._loop_pipeline = _make_loop_pipeline(c)
         self._verify_pipeline = _make_verify_pipeline(c)
 
@@ -564,7 +566,9 @@ class SlamEngine:
         if self.graph.num_loops == 0:
             return
         solver = self._solve_full if full else self._solve_fast
-        self.graph.g = solver(self.graph.g)
+        self.graph.g = solver(
+            self.graph.g, self.graph.num_nodes, self.graph.num_loops
+        )
 
     # -- outputs ------------------------------------------------------------
 

@@ -128,3 +128,45 @@ def test_capacity_guard():
         assert False, "expected capacity error"
     except RuntimeError:
         pass
+
+
+def test_bucketed_solver_matches_full():
+    """The bucketed (active-prefix) solver returns the same poses as solving
+    at full padded capacity."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from navtech_radar_slam_tpu.models import posegraph as pg
+    from navtech_radar_slam_tpu.utils import geometry as geo
+
+    from navtech_radar_slam_tpu.config import PgoConfig
+    cfg = dataclasses.replace(
+        PgoConfig(), max_nodes=256, max_loop_edges=64, max_gps_factors=256,
+        gn_iters=4, cg_iters=32,
+    )
+    graph = pg.PoseGraph(cfg)
+    pose = np.eye(4, dtype=np.float32)
+    graph.add_node(pose)
+    step = np.asarray(geo.se2_to_se3(jnp.asarray([1.0, 0.0, 0.1], jnp.float32)))
+    for _ in range(1, 60):   # 60 active nodes in a 256 capacity
+        pose = pose @ step
+        graph.add_node(pose, odom_meas=step)
+    graph.add_loop(0, 59, np.asarray(
+        geo.se2_to_se3(jnp.asarray([0.5, 0.2, 0.05], jnp.float32))
+    ))
+
+    full = pg.make_solver(cfg)
+    bucketed = pg.make_bucketed_solver(cfg)
+    g_full = full(graph.g)
+    g_buck = bucketed(graph.g, graph.num_nodes, graph.num_loops)
+    n = graph.num_nodes
+    np.testing.assert_allclose(
+        np.asarray(g_buck.poses[:n]), np.asarray(g_full.poses[:n]),
+        rtol=0, atol=1e-4,
+    )
+    # untouched padding beyond the bucket stays identity
+    np.testing.assert_allclose(
+        np.asarray(g_buck.poses[128:]),
+        np.broadcast_to(np.eye(4, dtype=np.float32), (cfg.max_nodes - 128, 4, 4)),
+    )
