@@ -219,6 +219,10 @@ class PgoConfig:
     cg_iters: int = 64
     cg_tol: float = 1e-6
     lm_lambda0: float = 1e-6
+    #: CG preconditioner: "chain" inverts the odometry-chain Hessian exactly
+    #: via prefix/suffix scans (information crosses the whole graph each CG
+    #: iteration); "jacobi" is the diagonal fallback
+    preconditioner: str = "chain"
     #: graph capacities (padded static shapes)
     max_nodes: int = 4096
     max_loop_edges: int = 1024

@@ -224,6 +224,44 @@ def _diag_precond(g: GraphArrays, loop_w, gps_w, cfg: PgoConfig, lam: float):
     return lambda v: dinv * v
 
 
+def _chain_precond(g: GraphArrays, cfg: PgoConfig, lam: float):
+    """Exact inverse of the odometry-chain part of the normal equations.
+
+    In edge coordinates u_k = x_k - x_{k-1} (tangent-space differences) the
+    chain Hessian is diagonal: H_chain = Tᵀ⁻¹ diag(W) T⁻¹ with x = T u and
+    T the block prefix-sum operator.  Hence M⁻¹ r = T diag(W)⁻¹ Tᵀ r — a
+    suffix sum, a per-edge scale, and a prefix sum (two log-depth cumsums).
+
+    Jacobi preconditioning propagates a loop-closure correction ONE node per
+    CG iteration along the chain (tridiagonal systems are CG's worst case);
+    this preconditioner propagates it across the whole graph per iteration,
+    so CG converges in roughly O(#loop factors) iterations independent of
+    chain length.  The rotation-translation coupling (between-factor
+    adjoints) is ignored — a preconditioner only needs to be SPD and close.
+
+    The gauge (node 0) gets zero edge weight, pinning delta_0 = 0 exactly
+    (matching the residuals' hard gauge freeze)."""
+    N = g.poses.shape[0]
+    s_odom = jnp.concatenate(
+        [
+            jnp.full((3,), 1.0 / cfg.odom_sigma_trans**2),
+            jnp.full((3,), 1.0 / cfg.odom_sigma_rot**2),
+        ]
+    )
+    w = g.odom_valid.astype(jnp.float32)[:, None] * s_odom[None, :] + lam
+    winv = 1.0 / w
+    winv = winv.at[0].set(0.0)   # gauge: u_0 = x_0 frozen at 0
+
+    def apply(r):
+        rd = r.reshape(N, 6)
+        a = jnp.cumsum(rd[::-1], axis=0)[::-1]   # Tᵀ r  (suffix sums)
+        b = a * winv                             # diag(W)⁻¹
+        z = jnp.cumsum(b, axis=0)                # T b   (prefix sums)
+        return z.reshape(-1)
+
+    return apply
+
+
 def _gn_step(g: GraphArrays, cfg: PgoConfig, lam: float) -> GraphArrays:
     """One IRLS + damped GN step: recompute robust weights, solve normal
     equations by CG through jvp/vjp matvecs, apply the tangent update."""
@@ -255,7 +293,10 @@ def _gn_step(g: GraphArrays, cfg: PgoConfig, lam: float) -> GraphArrays:
 
     (g_vec,) = vjp(r0)
     b = -g_vec.reshape(-1)
-    precond = _diag_precond(g, loop_w, gps_w, cfg, lam)
+    if cfg.preconditioner == "chain":
+        precond = _chain_precond(g, cfg, lam)
+    else:
+        precond = _diag_precond(g, loop_w, gps_w, cfg, lam)
     delta = _cg_solve(matvec, b, precond, cfg.cg_iters, cfg.cg_tol).reshape(N, 6)
 
     idx = jnp.arange(N)

@@ -134,13 +134,27 @@ def _sharded_gn_step(
     (g_local,) = vjp(r0)
     b = -jax.lax.psum(g_local.reshape(-1), axis)
 
-    # cheap replicated Jacobi preconditioner: odometry-dominated diagonal
     s2 = jnp.concatenate(
         [jnp.full((3,), 1.0 / cfg.odom_sigma_trans**2),
          jnp.full((3,), 1.0 / cfg.odom_sigma_rot**2)]
     )
-    dinv = 1.0 / (2.0 * jnp.tile(s2, (N,)) + lam)
-    precond = lambda v: dinv * v
+    if cfg.preconditioner == "chain":
+        # chain preconditioner (see models.posegraph._chain_precond): CG
+        # state is replicated, so each device applies the same two cumsums
+        # locally; only the odometry validity needs one (N,)-bool all_gather
+        ov = jax.lax.all_gather(odom_valid_sh, axis, tiled=True)
+        w = ov.astype(jnp.float32)[:, None] * s2[None, :] + lam
+        winv = (1.0 / w).at[0].set(0.0)
+
+        def precond(v):
+            rd = v.reshape(N, 6)
+            a = jnp.cumsum(rd[::-1], axis=0)[::-1]
+            z = jnp.cumsum(a * winv, axis=0)
+            return z.reshape(-1)
+    else:
+        # cheap replicated Jacobi: odometry-dominated diagonal
+        dinv = 1.0 / (2.0 * jnp.tile(s2, (N,)) + lam)
+        precond = lambda v: dinv * v
 
     delta = _cg_solve(matvec, b, precond, cfg.cg_iters, cfg.cg_tol).reshape(N, 6)
     idx = jnp.arange(N)

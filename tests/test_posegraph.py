@@ -161,9 +161,12 @@ def test_bucketed_solver_matches_full():
     g_full = full(graph.g)
     g_buck = bucketed(graph.g, graph.num_nodes, graph.num_loops)
     n = graph.num_nodes
+    # f32 reduction orders differ between the 64- and 256-wide solves, so
+    # CG trajectories diverge at the last-mantissa level; 5e-4 m/rad bounds
+    # the accumulated difference after 4 GN iterations
     np.testing.assert_allclose(
         np.asarray(g_buck.poses[:n]), np.asarray(g_full.poses[:n]),
-        rtol=0, atol=1e-4,
+        rtol=0, atol=5e-4,
     )
     # untouched padding beyond the bucket stays identity
     np.testing.assert_allclose(
