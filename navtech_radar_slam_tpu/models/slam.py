@@ -239,9 +239,10 @@ class SlamEngine:
         self._verify_pipeline = _make_verify_pipeline(c)
         self._kf_insert = _make_kf_insert(c)
         self._last_pose_se2 = jax.jit(lambda poses, k: geo.se3_to_se2(poses[k]))
-        #: host cache of the latest optimized keyframe pose (refreshed once
-        #: per keyframe; poses only change on keyframe solves)
+        #: host cache of the latest optimized keyframe pose; the device
+        #: slice is dispatched per keyframe, materialized lazily
         self._cur_pose: Optional[np.ndarray] = None
+        self._cur_pose_dev = None
         self._make_desc = jax.jit(
             lambda xy, valid: sc_ops.make_scancontext(
                 xy, jnp.zeros(xy.shape[0]), valid, c.scancontext
@@ -497,10 +498,14 @@ class SlamEngine:
 
         if c.do_slam:
             self._maybe_close_loop(k, xy, valid, desc)
-        # refresh the host pose cache from the (possibly re-solved) graph
-        self._cur_pose = np.asarray(jax.device_get(
-            self._last_pose_se2(self.graph.g.poses, jnp.asarray(k, jnp.int32))
-        ), np.float64)
+        # refresh the host pose cache LAZILY: dispatch the tiny slice program
+        # asynchronously and only block in current_pose() — over a
+        # high-latency link this collapses one ~26 ms round-trip per keyframe
+        # into one per current_pose() consumer (e.g. once per chunk)
+        self._cur_pose_dev = self._last_pose_se2(
+            self.graph.g.poses, jnp.asarray(k, jnp.int32)
+        )
+        self._cur_pose = None
 
     def _maybe_close_loop(self, k: int, xy: jnp.ndarray, valid: jnp.ndarray,
                           desc):
@@ -576,11 +581,14 @@ class SlamEngine:
         """Latest keyframe's optimized pose [x, y, theta]."""
         if self.num_keyframes == 0:
             return np.zeros(3)
-        if self._cur_pose is None:   # after checkpoint resume / attach
-            self._cur_pose = np.asarray(jax.device_get(self._last_pose_se2(
-                self.graph.g.poses,
-                jnp.asarray(self.num_keyframes - 1, jnp.int32),
-            )), np.float64)
+        if self._cur_pose is None:
+            dev = getattr(self, "_cur_pose_dev", None)
+            if dev is None:   # after checkpoint resume / attach
+                dev = self._last_pose_se2(
+                    self.graph.g.poses,
+                    jnp.asarray(self.num_keyframes - 1, jnp.int32),
+                )
+            self._cur_pose = np.asarray(jax.device_get(dev), np.float64)
         return self._cur_pose.copy()
 
     def trajectory(self) -> np.ndarray:
