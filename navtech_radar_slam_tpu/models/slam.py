@@ -142,10 +142,10 @@ def _make_kf_insert(cfg: SlamConfig):
     descriptor + ring key into their banks, graph node append with the
     odometry Between measurement (iSAM2 init semantics, cpp:497-524).
 
-    Fusing this keeps the streaming host loop to a single dispatch per
-    keyframe — the reference's mutex-guarded vector push_backs (cpp:486-495)
-    become one functional update of device-resident state.  The descriptor
-    is computed by the (engine-shared) _make_desc jit and passed in, so the
+    Used by the mesh-sharded engine (whose loop detection runs as a separate
+    sharded program); the single-device engine fuses this insert together
+    with detection/verification into _make_kf_step.  The descriptor is
+    computed by the (engine-shared) _make_desc jit and passed in, so the
     mesh-sharded and single-device engines insert bit-identical banks."""
 
     def fn(clouds, clouds_valid, bank, ring_keys, g, k, xy, valid, desc,
@@ -170,6 +170,78 @@ def _make_kf_insert(cfg: SlamConfig):
             odom_valid=g.odom_valid.at[k].set(has_odom),
         )
         return clouds, clouds_valid, bank, ring_keys, g
+
+    return jax.jit(fn)
+
+
+def _make_kf_step(cfg: SlamConfig):
+    """ONE jitted program for the whole single-device keyframe path:
+    ScanContext descriptor + bank/cloud/graph insert + (lax.cond-gated) loop
+    detection + submap ICP verification + the post-insert pose slice.
+
+    The split pipeline (desc, insert, detect+verify, pose slice) cost four
+    dispatches per keyframe; over a high-latency link each dispatch is a
+    round-trip, so fusing them is a 4x latency cut for the streaming SLAM
+    loop.  ``do_detect`` is a traced bool — both branches live in one
+    compiled program and `lax.cond` executes only the taken one."""
+
+    def fn(clouds, clouds_valid, bank, ring_keys, g, k, xy, valid,
+           odo_pose_se2, prev_odo_se2, has_odom, do_detect):
+        desc = sc_ops.make_scancontext(
+            xy, jnp.zeros(xy.shape[0]), valid, cfg.scancontext
+        )
+        clouds = clouds.at[k].set(xy)
+        clouds_valid = clouds_valid.at[k].set(valid)
+        bank = bank.at[k].set(desc)
+        ring_keys = ring_keys.at[k].set(sc_ops.ring_key(desc))
+
+        meas = geo.se2_to_se3(geo.se2_between(prev_odo_se2, odo_pose_se2))
+        pose_abs = geo.se2_to_se3(odo_pose_se2)
+        prev_opt = g.poses[jnp.maximum(k - 1, 0)]
+        init = jnp.where(has_odom, prev_opt @ meas, pose_abs)
+        g = g._replace(
+            poses=g.poses.at[k].set(init),
+            num_nodes=(k + 1).astype(jnp.int32),
+            odom_meas=g.odom_meas.at[k].set(
+                jnp.where(has_odom, meas, jnp.eye(4, dtype=meas.dtype))
+            ),
+            odom_valid=g.odom_valid.at[k].set(has_odom),
+        )
+
+        num_kf = (k + 1).astype(jnp.int32)
+
+        def detect(_):
+            poses_se2 = geo.se3_to_se2(g.poses)
+            if cfg.scancontext.search_mode == "ringkey":
+                cand = sc_ops.detect_loop_ringkey(
+                    desc, bank, ring_keys, num_kf, cfg.scancontext
+                )
+            else:
+                cand = sc_ops.detect_loop(desc, bank, num_kf, cfg.scancontext)
+            res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
+                                    xy, valid, num_kf, cfg)
+            return cand, res
+
+        def skip(_):
+            cand = sc_ops.LoopCandidate(
+                idx=jnp.asarray(-1, jnp.int32),
+                dist=jnp.asarray(jnp.inf, jnp.float32),
+                yaw=jnp.asarray(0.0, jnp.float32),
+                found=jnp.asarray(False),
+            )
+            res = icp_ops.IcpResult(
+                rel_pose=jnp.zeros(3, jnp.float32),
+                fitness=jnp.asarray(jnp.inf, jnp.float32),
+                num_corr=jnp.asarray(0, jnp.int32),
+                converged=jnp.asarray(False),
+                accepted=jnp.asarray(False),
+            )
+            return cand, res
+
+        cand, res = jax.lax.cond(do_detect, detect, skip, None)
+        last_pose = geo.se3_to_se2(g.poses[k])
+        return (clouds, clouds_valid, bank, ring_keys, g, desc, cand, res,
+                last_pose)
 
     return jax.jit(fn)
 
@@ -235,9 +307,9 @@ class SlamEngine:
         else:
             self._solve_fast = pg.make_bucketed_solver(fast_cfg)
             self._solve_full = pg.make_bucketed_solver(c.pgo)
-        self._loop_pipeline = _make_loop_pipeline(c)
         self._verify_pipeline = _make_verify_pipeline(c)
         self._kf_insert = _make_kf_insert(c)
+        self._kf_step = _make_kf_step(c)
         self._last_pose_se2 = jax.jit(lambda poses, k: geo.se3_to_se2(poses[k]))
         #: host cache of the latest optimized keyframe pose; the device
         #: slice is dispatched per keyframe, materialized lazily
@@ -460,8 +532,8 @@ class SlamEngine:
             dist_full = make_distributed_solver(self.mesh, c.pgo)
             self._solve_fast = lambda g, n, l: g._replace(poses=dist_fast(g))
             self._solve_full = lambda g, n, l: g._replace(poses=dist_full(g))
-        self._loop_pipeline = _make_loop_pipeline(c)
         self._verify_pipeline = _make_verify_pipeline(c)
+        self._kf_step = _make_kf_step(c)
 
     def _add_keyframe(self, odo_pose: np.ndarray, xy: jnp.ndarray,
                       valid: jnp.ndarray, timestamp: float):
@@ -476,19 +548,40 @@ class SlamEngine:
         self.kf_times.append(timestamp)
         self.odom_poses.append(odo_pose.copy())
 
-        # one fused device program: bank/cloud/ring-key insert + graph node
-        # append with the odometry Between measurement (cpp:486-524)
         has_odom = not (k == 0 or k == self.session_start)
-        desc = self._make_desc(xy, valid)
-        (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
-         self.graph.g) = self._kf_insert(
-            self.clouds, self.clouds_valid, self.bank, self.ring_keys,
-            self.graph.g, jnp.asarray(k, jnp.int32),
-            xy, valid, desc,
-            jnp.asarray(odo_pose, jnp.float32),
-            jnp.asarray(self.last_kf_pose, jnp.float32),
-            jnp.asarray(has_odom),
+        do_detect = bool(
+            c.do_slam
+            and (k + 1) % c.scancontext.detect_every_n_keyframes == 0
+            and (k + 1) > c.scancontext.num_exclude_recent
         )
+
+        if self._sharded_detect is not None:
+            # mesh path: insert + desc separately; detection runs sharded
+            desc = self._make_desc(xy, valid)
+            (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+             self.graph.g) = self._kf_insert(
+                self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+                self.graph.g, jnp.asarray(k, jnp.int32),
+                xy, valid, desc,
+                jnp.asarray(odo_pose, jnp.float32),
+                jnp.asarray(self.last_kf_pose, jnp.float32),
+                jnp.asarray(has_odom),
+            )
+            cand = res = None
+            pose_dev = None
+        else:
+            # single-device path: the whole keyframe step is ONE dispatch
+            # (descriptor + inserts + gated loop detect/verify + pose slice)
+            (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+             self.graph.g, desc, cand, res, pose_dev) = self._kf_step(
+                self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+                self.graph.g, jnp.asarray(k, jnp.int32),
+                xy, valid,
+                jnp.asarray(odo_pose, jnp.float32),
+                jnp.asarray(self.last_kf_pose, jnp.float32),
+                jnp.asarray(has_odom),
+                jnp.asarray(do_detect),
+            )
         self.graph.num_nodes = k + 1
         self.last_kf_pose = odo_pose.copy()
         if self._pending_gps is not None and c.pgo.use_gps:
@@ -496,25 +589,35 @@ class SlamEngine:
             self._pending_gps = None
         self.num_keyframes = k + 1
 
+        refined = False
         if c.do_slam:
-            self._maybe_close_loop(k, xy, valid, desc)
-        # refresh the host pose cache LAZILY: dispatch the tiny slice program
-        # asynchronously and only block in current_pose() — over a
-        # high-latency link this collapses one ~26 ms round-trip per keyframe
-        # into one per current_pose() consumer (e.g. once per chunk)
-        self._cur_pose_dev = self._last_pose_se2(
-            self.graph.g.poses, jnp.asarray(k, jnp.int32)
-        )
+            refined = self._handle_loop_decision(
+                k, xy, valid, desc, cand, res, do_detect
+            )
+        # refresh the host pose cache LAZILY: keep the device handle and
+        # only block in current_pose() — over a high-latency link this
+        # collapses one ~26 ms round-trip per keyframe into one per
+        # current_pose() consumer (e.g. once per chunk)
+        if refined or pose_dev is None:
+            pose_dev = self._last_pose_se2(
+                self.graph.g.poses, jnp.asarray(k, jnp.int32)
+            )
+        self._cur_pose_dev = pose_dev
         self._cur_pose = None
 
-    def _maybe_close_loop(self, k: int, xy: jnp.ndarray, valid: jnp.ndarray,
-                          desc):
+    def _handle_loop_decision(self, k: int, xy, valid, desc, cand, res,
+                              do_detect: bool) -> bool:
+        """Fetch the loop decision (if a detection ran), update the graph,
+        run the per-keyframe refine.  Returns True iff a solve ran (the
+        pose cache must then come from the solved graph)."""
         c = self.cfg
-        if (k + 1) % c.scancontext.detect_every_n_keyframes != 0:
+        if not do_detect:
+            if (k + 1) % c.scancontext.detect_every_n_keyframes == 0:
+                # gate was the exclude-recent window (reference cpp:558):
+                # no refine either, matching the previous behavior
+                return False
             self._refine_graph(full=False)
-            return
-        if k + 1 <= c.scancontext.num_exclude_recent:
-            return
+            return self.graph.num_loops > 0
 
         if self._sharded_detect is not None:
             cand = self._sharded_detect(
@@ -523,12 +626,6 @@ class SlamEngine:
             res = self._verify_pipeline(
                 cand, self.clouds, self.clouds_valid, self.graph.g.poses,
                 xy, valid, jnp.asarray(k + 1, jnp.int32),
-            )
-        else:
-            cand, res = self._loop_pipeline(
-                self.bank, self.ring_keys, self.clouds, self.clouds_valid,
-                self.graph.g.poses, xy, valid, desc,
-                jnp.asarray(k + 1, jnp.int32),
             )
         # one fetch for every decision scalar of this keyframe
         found, accepted, idx, dist, fitness, rel2 = jax.device_get(
@@ -548,6 +645,7 @@ class SlamEngine:
             self._refine_graph(full=True)
         else:
             self._refine_graph(full=False)
+        return self.graph.num_loops > 0
 
     def _rebase_session(self, prior_idx: int, curr_idx: int, loop_meas):
         """First inter-session loop: rigidly move the whole current session
