@@ -294,6 +294,16 @@ def _finalize(args, eng, processed, wall, timers) -> int:
     map_pts = eng.aggregate_map()
     map_path = os.path.join(args.output_dir, "map_points.csv")
     np.savetxt(map_path, map_pts, delimiter=",", header="x,y", comments="")
+    if eng.loops:
+        np.savetxt(
+            os.path.join(args.output_dir, "loops.csv"),
+            np.asarray([
+                [e.prev_idx, e.curr_idx, e.sc_dist, e.icp_fitness]
+                for e in eng.loops
+            ]),
+            delimiter=",", header="prev_kf,curr_kf,sc_dist,icp_fitness",
+            comments="",
+        )
     ckpt.save_engine(eng, os.path.join(args.output_dir, "final.npz"))
     with open(os.path.join(args.output_dir, "stats.json"), "w") as f:
         json.dump(dataclasses.asdict(stats), f, indent=2)

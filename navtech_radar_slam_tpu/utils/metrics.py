@@ -55,6 +55,48 @@ def path_length(xy: np.ndarray) -> float:
     return float(np.sum(np.linalg.norm(np.diff(xy, axis=0), axis=1)))
 
 
+def loop_recall_precision(
+    loop_pairs,
+    gt_kf_xy: np.ndarray,
+    dist_thresh: float = 5.0,
+    min_separation: int = 30,
+) -> Tuple[float, float]:
+    """Loop-closure recall and precision against ground-truth revisits
+    (BASELINE config 2's metric; the reference never measures this).
+
+    A keyframe j is a ground-truth *revisit* if some earlier keyframe
+    i <= j - min_separation lies within dist_thresh meters of it.  An
+    accepted loop (i, j) is *correct* if the two keyframes' true positions
+    are within dist_thresh.
+
+    loop_pairs: iterable of (prev_idx, curr_idx); gt_kf_xy: (N, 2) true
+    keyframe positions.  Returns (recall, precision); recall is NaN when the
+    trajectory contains no revisits, precision NaN with no accepted loops."""
+    gt_kf_xy = np.asarray(gt_kf_xy, np.float64)
+    n = len(gt_kf_xy)
+    d = np.linalg.norm(gt_kf_xy[None, :] - gt_kf_xy[:, None], axis=-1)
+    ii = np.arange(n)
+    sep_ok = (ii[None, :] - ii[:, None]) >= min_separation   # i row, j col
+    gt_pair = (d < dist_thresh) & sep_ok
+    revisit = gt_pair.any(axis=0)                            # per j
+
+    detected = np.zeros(n, bool)
+    correct = 0
+    total = 0
+    for i, j in loop_pairs:
+        i, j = int(i), int(j)
+        total += 1
+        if 0 <= i < n and 0 <= j < n and d[i, j] < dist_thresh:
+            correct += 1
+            detected[j] = True
+    num_revisits = int(revisit.sum())
+    recall = float("nan") if num_revisits == 0 else (
+        float((detected & revisit).sum()) / num_revisits
+    )
+    precision = float("nan") if total == 0 else correct / total
+    return recall, precision
+
+
 @dataclass
 class RunStats:
     num_scans: int = 0

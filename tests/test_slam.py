@@ -178,3 +178,30 @@ def test_process_chunk_matches_stepwise():
         tb[: eng_b.num_keyframes], ta[: eng_a.num_keyframes],
         rtol=0, atol=1e-3,
     )
+
+
+def test_loop_recall_precision_metric():
+    """Unit: synthetic revisits; integration: circuit loops are all true
+    positives (precision 1.0) and cover part of the revisit set."""
+    from navtech_radar_slam_tpu.utils.metrics import loop_recall_precision
+
+    # synthetic: a 60-kf out-and-back; kf 50..59 revisit kf 0..9
+    xy = np.zeros((60, 2))
+    xy[:30, 0] = np.arange(30)            # out
+    xy[30:], xy[30:, 0] = 0.0, np.arange(29, -1, -1)  # back
+    r, p = loop_recall_precision([(2, 56)], xy, dist_thresh=2.0,
+                                 min_separation=30)
+    assert p == 1.0 and 0.0 < r <= 1.0
+    r2, p2 = loop_recall_precision([(2, 40)], xy, dist_thresh=2.0,
+                                   min_separation=30)   # not a true revisit
+    assert p2 == 0.0
+
+    eng, gt_rel = run_circuit()
+    pairs = [(e.prev_idx, e.curr_idx) for e in eng.loops]
+    n = min(eng.num_keyframes, len(gt_rel))
+    rec, prec = loop_recall_precision(
+        pairs, gt_rel[:n, :2], dist_thresh=5.0,
+        min_separation=eng.cfg.scancontext.num_exclude_recent,
+    )
+    assert prec == 1.0, (pairs, prec)
+    assert rec > 0.0
