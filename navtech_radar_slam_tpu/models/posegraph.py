@@ -337,7 +337,10 @@ def make_bucketed_solver(cfg: PgoConfig):
         N = g.poses.shape[0]
         L = g.loop_i.shape[0]
         nb = min(N, max(64, 1 << (max(int(num_nodes), 1) - 1).bit_length()))
-        lb = min(L, max(16, 1 << (max(int(num_loops), 1) - 1).bit_length()))
+        # loops stay at full padding: their residual cost is negligible
+        # (L small 4x4 log-maps) and bucketing them would recompile the
+        # solver every time the loop count crosses a power of two
+        lb = L
         key = (nb, lb, N, L)
         if key not in cache:
 
