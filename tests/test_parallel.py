@@ -152,3 +152,51 @@ def test_engine_with_mesh_matches_single_device():
     np.testing.assert_allclose(
         eng_m.trajectory()[:, :3, 3], eng_s.trajectory()[:, :3, 3], atol=0.1
     )
+
+
+def test_sharded_batched_odometry_matches_single_device():
+    """Data-parallel odometry sharded over the 8-device mesh produces the
+    same per-stream results as the single-device batched step."""
+    import dataclasses as dc
+    import os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+    import jax.numpy as jnp
+    from test_slam import small_cfg
+
+    from navtech_radar_slam_tpu.data import RadarSimulator
+    from navtech_radar_slam_tpu.models import odometry as odo_mod
+    from navtech_radar_slam_tpu.parallel.sharded_odometry import (
+        make_sharded_batched_odometry, make_sharded_extract,
+    )
+
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    B = 8
+    gt = sim.circuit_trajectory(B + 1, radius=10.0, speed=6.0)
+    na = cfg.radar.num_azimuths
+    az = jnp.asarray((np.arange(na) + 0.5) / na * 2 * np.pi, jnp.float32)
+    prev_scans = jnp.stack([jnp.asarray(sim.render(gt[i], noise_seed=i))
+                            for i in range(B)])
+    curr_scans = jnp.stack([jnp.asarray(sim.render(gt[i + 1], noise_seed=100 + i))
+                            for i in range(B)])
+    twists = jnp.zeros((B, 3), jnp.float32)
+
+    # single-device reference
+    bstep = odo_mod.make_batched_odometry_step(cfg)
+    carry0 = jax.vmap(
+        lambda p: odo_mod.extract_scan_features(p, az, cfg)
+    )(prev_scans)
+    _, res_ref, _ = bstep(curr_scans, az, carry0, twists)
+
+    m = mesh_mod.make_mesh(8)
+    sstep, shard = make_sharded_batched_odometry(m, cfg)
+    sextract = make_sharded_extract(m, cfg)
+    carry_sh = sextract(shard(prev_scans), az)
+    _, res_sh, _ = sstep(shard(curr_scans), az, carry_sh, shard(twists))
+
+    assert bool(np.asarray(res_sh.ok).all())
+    np.testing.assert_allclose(
+        np.asarray(res_sh.rel_pose), np.asarray(res_ref.rel_pose),
+        rtol=0, atol=1e-4,
+    )
