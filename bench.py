@@ -138,7 +138,7 @@ def main():
     bfps = 0.0
     if _remaining() > 60.0:
         try:
-            B = 32
+            B = 64
             bstep = odo_mod.make_batched_odometry_step(cfg)
             bscans = jnp.stack([scans[i % len(scans)] for i in range(B)])
             bcarry = jax.vmap(
