@@ -67,9 +67,13 @@ def _build_submap(
 
     The reference voxel-downsamples the stacked submap at 0.4 m (347-351);
     radar feature clouds are already sparse, so packing the valid points to a
-    fixed budget replaces voxelization (documented divergence)."""
+    fixed budget replaces voxelization (documented divergence).  When the
+    window holds more valid points than the budget, points from keyframes
+    CLOSEST to the loop candidate win (a valid-first stable sort would keep
+    window order and fill the whole budget from one side of the window)."""
     W = 2 * half + 1
-    idx = center + jnp.arange(-half, half + 1)
+    offsets = jnp.arange(-half, half + 1)
+    idx = center + offsets
     ok = (idx >= 0) & (idx < num_kf)
     idxc = jnp.clip(idx, 0, clouds.shape[0] - 1)
     c = clouds[idxc]                               # (W, K, 2)
@@ -80,8 +84,10 @@ def _build_submap(
     pts = jax.vmap(geo.se2_apply)(rel, c)          # (W, K, 2)
     flat = pts.reshape(-1, 2)
     vflat = v.reshape(-1)
-    order = jnp.argsort(~vflat, stable=True)       # valid points first
-    take = order[:max_pts]
+    # priority: valid, then keyframe proximity to the candidate
+    prio = jnp.where(v, (half + 1 - jnp.abs(offsets)).astype(jnp.float32)[:, None],
+                     -1.0).reshape(-1)
+    _, take = jax.lax.top_k(prio, max_pts)
     return flat[take], vflat[take]
 
 
