@@ -470,12 +470,15 @@ class SlamEngine:
             odo.num_scans += 1
             self.num_scans += 1
             if seeded and i == 0:
-                # mirror process()'s first-scan branch exactly: keyframe 0 is
-                # added without resetting movement_accum (still 1e6, so the
-                # next scan passes the gate too — reference init semantics,
-                # laserPosegraphOptimization.cpp:63)
-                self._add_keyframe(odo.pose.copy(), xys[0], valids[0],
-                                   timestamps[0])
+                # scan 0 only (re)seeded the carry.  On a fresh engine it is
+                # also the first keyframe — added without resetting
+                # movement_accum (still 1e6: the next scan passes the gate
+                # too, reference init semantics, cpp:63).  After a checkpoint
+                # resume the re-seed scan produces no motion and no keyframe,
+                # mirroring process()'s resume branch.
+                if self.num_keyframes == 0:
+                    self._add_keyframe(odo.pose.copy(), xys[0], valids[0],
+                                       timestamps[0])
                 continue
             ok = bool(oks_h[i])
             odo.last_ok = ok

@@ -176,3 +176,33 @@ def test_cli_chunked_matches_per_scan(tmp_path):
     tb = np.loadtxt(out_b / "trajectory_tum.txt")
     assert ta.shape == tb.shape
     np.testing.assert_allclose(tb[:, 1:4], ta[:, 1:4], atol=1e-3)
+
+
+def test_cli_resume_chunked(tmp_path):
+    """Resume from a checkpoint and continue in --chunk mode: no spurious
+    keyframe at the re-seed scan, full scan count preserved."""
+    from navtech_radar_slam_tpu import cli
+    from navtech_radar_slam_tpu.utils import checkpoint as ckpt
+
+    seq_dir, gt = write_sequence(tmp_path, n_scans=8)
+    cfg_path = small_config_file(tmp_path)
+    out1 = tmp_path / "o1"
+    cli.main(["--seq_dir", str(seq_dir), "--config", cfg_path,
+              "--output_dir", str(out1), "--max_scans", "4",
+              "--save_plot", "false"])
+    out2 = tmp_path / "o2"
+    rc = cli.main(["--seq_dir", str(seq_dir), "--config", cfg_path,
+                   "--output_dir", str(out2), "--chunk", "3",
+                   "--resume", str(out1 / "final.npz"),
+                   "--save_plot", "false"])
+    assert rc == 0
+    eng = ckpt.load_engine(str(out2 / "final.npz"))
+    assert eng.num_scans == 8
+    # reference run without interruption
+    out3 = tmp_path / "o3"
+    cli.main(["--seq_dir", str(seq_dir), "--config", cfg_path,
+              "--output_dir", str(out3), "--save_plot", "false"])
+    eng_ref = ckpt.load_engine(str(out3 / "final.npz"))
+    # the resume gap loses one scan-pair of motion (documented), so allow
+    # a keyframe-count difference of at most one
+    assert abs(eng.num_keyframes - eng_ref.num_keyframes) <= 1
