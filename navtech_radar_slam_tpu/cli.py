@@ -304,6 +304,23 @@ def _finalize(args, eng, processed, wall, timers) -> int:
             delimiter=",", header="prev_kf,curr_kf,sc_dist,icp_fitness",
             comments="",
         )
+    # auto-evaluate when the sequence ships ground truth (MulRan layout)
+    gt_path = os.path.join(args.seq_dir, "global_pose.csv")
+    if os.path.exists(gt_path) and eng.num_keyframes >= 3:
+        try:
+            from navtech_radar_slam_tpu import eval as eval_mod
+
+            t_est, xy_est = eval_mod.load_tum(traj_path)
+            t_gt, xy_gt = eval_mod.load_gt(gt_path)
+            ia, ib = eval_mod.associate(t_est, t_gt, 0.15)
+            if len(ia) >= 3:
+                stats.ate_rmse = metrics.ate_rmse(xy_est[ia], xy_gt[ib])
+                stats.rte = metrics.rte(xy_est[ia], xy_gt[ib])
+                print(f"ground truth: ATE {stats.ate_rmse:.3f} m, "
+                      f"RTE {stats.rte:.3f} m over {len(ia)} paired poses")
+        except Exception as e:  # never fail the run on eval trouble
+            print(f"ground-truth eval failed: {e}", file=sys.stderr)
+
     ckpt.save_engine(eng, os.path.join(args.output_dir, "final.npz"))
     with open(os.path.join(args.output_dir, "stats.json"), "w") as f:
         json.dump(dataclasses.asdict(stats), f, indent=2)

@@ -206,3 +206,28 @@ def test_cli_resume_chunked(tmp_path):
     # the resume gap loses one scan-pair of motion (documented), so allow
     # a keyframe-count difference of at most one
     assert abs(eng.num_keyframes - eng_ref.num_keyframes) <= 1
+
+
+def test_cli_auto_eval_against_ground_truth(tmp_path):
+    """When the sequence ships global_pose.csv, stats.json gains ATE/RTE."""
+    from navtech_radar_slam_tpu import cli
+
+    seq_dir, gt = write_sequence(tmp_path, n_scans=7)
+    # MulRan ground truth: stamp_ns + row-major 3x4 of the SE(2) pose
+    rows = []
+    for i, p in enumerate(gt[:7]):
+        stamp_ns = (1_600_000_000_000_000 + i * 250_000) * 1000
+        c, s = np.cos(p[2]), np.sin(p[2])
+        m = np.array([[c, -s, 0, p[0]], [s, c, 0, p[1]], [0, 0, 1, 0]])
+        rows.append([stamp_ns] + list(m.reshape(-1)))
+    np.savetxt(seq_dir / "global_pose.csv", np.asarray(rows), delimiter=",")
+
+    cfg_path = small_config_file(tmp_path)
+    out = tmp_path / "out_eval"
+    assert cli.main([
+        "--seq_dir", str(seq_dir), "--config", cfg_path,
+        "--output_dir", str(out), "--save_plot", "false",
+    ]) == 0
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["ate_rmse"] is not None and stats["ate_rmse"] < 1.0
+    assert stats["rte"] is not None
