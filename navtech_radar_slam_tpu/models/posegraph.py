@@ -161,7 +161,7 @@ def residuals(
 # ---------------------------------------------------------------------------
 
 def _cg_solve(matvec, b, precond, iters: int, tol: float):
-    """Jacobi-preconditioned CG on H x = b with masked early freeze.
+    """Preconditioned CG on H x = b with masked early freeze.
 
     f32 note: the whitened normal equations have condition ~1e6+ (odometry
     whitening 1e3 vs loop whitening 2); unpreconditioned CG stalls in f32,
