@@ -81,3 +81,16 @@ def test_prefetcher_order_and_content(tmp_path, rng):
 def test_native_decode_missing_file():
     with pytest.raises(IOError):
         decode_png_native("/nonexistent/scan.png", CFG)
+
+
+def test_native_decode_corrupt_file(tmp_path):
+    """A truncated/corrupt PNG must raise, not crash or return garbage."""
+    p = tmp_path / "9999999999999999.png"
+    p.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)   # header, no chunks
+    with pytest.raises(IOError):
+        decode_png_native(str(p), CFG)
+
+    q = tmp_path / "not_a_png.png"
+    q.write_bytes(b"garbage bytes, not an image")
+    with pytest.raises(IOError):
+        decode_png_native(str(q), CFG)
