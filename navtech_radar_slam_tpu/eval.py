@@ -26,6 +26,21 @@ def load_tum(path: str):
     return raw[:, 0], raw[:, 1:3]
 
 
+def load_tum_se2(path: str):
+    """(stamps, (N, 3) [x, y, yaw]) from a TUM file (t x y z qx qy qz qw);
+    yaw extracted from the quaternion so RPE can be rotation-aware."""
+    raw = np.loadtxt(path)
+    if raw.ndim == 1:
+        raw = raw[None, :]
+    if raw.shape[1] >= 8:
+        qx, qy, qz, qw = raw[:, 4], raw[:, 5], raw[:, 6], raw[:, 7]
+        yaw = np.arctan2(2 * (qw * qz + qx * qy), 1 - 2 * (qy**2 + qz**2))
+    else:
+        d = np.gradient(raw[:, 1:3], axis=0)
+        yaw = np.arctan2(d[:, 1], d[:, 0])
+    return raw[:, 0], np.stack([raw[:, 1], raw[:, 2], yaw], axis=1)
+
+
 def load_gt(path: str):
     if path.endswith("global_pose.csv"):
         from navtech_radar_slam_tpu.data.mulran import load_global_pose_csv
@@ -33,6 +48,18 @@ def load_gt(path: str):
         ts, poses = load_global_pose_csv(path)
         return ts, poses[:, :2, 3]
     return load_tum(path)
+
+
+def load_gt_se2(path: str):
+    """(stamps, (N, 3) [x, y, yaw]) ground truth; yaw from the rotation
+    matrix for MulRan global_pose.csv, from the quaternion for TUM files."""
+    if path.endswith("global_pose.csv"):
+        from navtech_radar_slam_tpu.data.mulran import load_global_pose_csv
+
+        ts, poses = load_global_pose_csv(path)
+        yaw = np.arctan2(poses[:, 1, 0], poses[:, 0, 0])
+        return ts, np.stack([poses[:, 0, 3], poses[:, 1, 3], yaw], axis=1)
+    return load_tum_se2(path)
 
 
 def associate(t_a, t_b, max_dt: float):
@@ -58,24 +85,26 @@ def main(argv=None) -> int:
 
     from navtech_radar_slam_tpu.utils import metrics
 
-    t_est, xy_est = load_tum(args.traj)
-    t_gt, xy_gt = load_gt(args.gt)
+    t_est, se2_est = load_tum_se2(args.traj)
+    t_gt, se2_gt = load_gt_se2(args.gt)
     ia, ib = associate(t_est, t_gt, args.max_dt)
     if len(ia) < 3:
         print(json.dumps({"error": "fewer than 3 time-associated poses"}))
         return 1
-    est = xy_est[ia]
-    gt = xy_gt[ib]
-    ate = metrics.ate_rmse(est, gt, align=not args.no_align)
-    rte = metrics.rte(est, gt, delta=args.rte_delta)
+    est = se2_est[ia]
+    gt = se2_gt[ib]
+    ate = metrics.ate_rmse(est[:, :2], gt[:, :2], align=not args.no_align)
+    rte_t, rte_r = metrics.relative_pose_error(est, gt, delta=args.rte_delta)
     print(json.dumps({
         "metric": "ate_rmse",
         "value": round(ate, 4),
         "unit": "m",
-        "rte": round(rte, 4),
+        "rte": round(rte_t, 4),
+        "rte_rot_deg": round(np.degrees(rte_r), 4),
         "pairs": int(len(ia)),
-        "path_length": round(metrics.path_length(gt), 1),
-        "ate_pct_of_path": round(100 * ate / max(metrics.path_length(gt), 1e-9), 3),
+        "path_length": round(metrics.path_length(gt[:, :2]), 1),
+        "ate_pct_of_path": round(
+            100 * ate / max(metrics.path_length(gt[:, :2]), 1e-9), 3),
     }))
     return 0
 

@@ -38,16 +38,64 @@ def ate_rmse(est_xy: np.ndarray, ref_xy: np.ndarray, align: bool = True) -> floa
     return float(np.sqrt(((est_xy - ref_xy) ** 2).sum(-1).mean()))
 
 
-def rte(est_xy: np.ndarray, ref_xy: np.ndarray, delta: int = 10) -> float:
-    """Mean relative translational error over windows of `delta` poses."""
-    est_xy = np.asarray(est_xy, np.float64)
-    ref_xy = np.asarray(ref_xy, np.float64)
-    n = min(len(est_xy), len(ref_xy))
+def _as_se2(traj: np.ndarray) -> np.ndarray:
+    """Coerce a trajectory to (N, 3) [x, y, yaw].
+
+    (N, 2) inputs get their yaw derived from the path tangent (finite
+    differences), so heading error still enters the relative-pose metric
+    even when the source format carried no orientation."""
+    traj = np.asarray(traj, np.float64)
+    if traj.ndim != 2 or traj.shape[1] not in (2, 3):
+        raise ValueError(f"trajectory must be (N,2) or (N,3), got {traj.shape}")
+    if traj.shape[1] == 3:
+        return traj
+    d = np.gradient(traj, axis=0)
+    yaw = np.arctan2(d[:, 1], d[:, 0])
+    return np.concatenate([traj, yaw[:, None]], axis=1)
+
+
+def _se2_between_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched relative SE(2) pose a^{-1} b for (N, 3) arrays."""
+    c, s = np.cos(a[:, 2]), np.sin(a[:, 2])
+    dx = b[:, 0] - a[:, 0]
+    dy = b[:, 1] - a[:, 1]
+    rx = c * dx + s * dy
+    ry = -s * dx + c * dy
+    dth = np.arctan2(np.sin(b[:, 2] - a[:, 2]), np.cos(b[:, 2] - a[:, 2]))
+    return np.stack([rx, ry, dth], axis=1)
+
+
+def relative_pose_error(
+    est: np.ndarray, ref: np.ndarray, delta: int = 10
+) -> Tuple[float, float]:
+    """KITTI/TUM-style relative pose error over segments of `delta` poses.
+
+    For every i, the estimated and reference relative transforms over the
+    segment [i, i+delta] are compared in the LOCAL frame:
+        E_i = (ref_i^{-1} ref_{i+d})^{-1} (est_i^{-1} est_{i+d})
+    Returns (translational RMSE in m, rotational RMSE in rad).  Unlike a
+    world-frame displacement difference, heading error enters the
+    translational term only through its local effect on the segment, and the
+    rotational term is reported explicitly.
+
+    est/ref: (N, 3) [x, y, yaw] or (N, 2) xy (yaw derived from tangents)."""
+    est = _as_se2(est)
+    ref = _as_se2(ref)
+    n = min(len(est), len(ref))
     if n <= delta:
-        return float("nan")
-    de = est_xy[delta:n] - est_xy[: n - delta]
-    dr = ref_xy[delta:n] - ref_xy[: n - delta]
-    return float(np.linalg.norm(de - dr, axis=1).mean())
+        return float("nan"), float("nan")
+    est, ref = est[:n], ref[:n]
+    rel_e = _se2_between_np(est[: n - delta], est[delta:])
+    rel_r = _se2_between_np(ref[: n - delta], ref[delta:])
+    err = _se2_between_np(rel_r, rel_e)
+    t_rmse = float(np.sqrt((err[:, :2] ** 2).sum(-1).mean()))
+    r_rmse = float(np.sqrt((err[:, 2] ** 2).mean()))
+    return t_rmse, r_rmse
+
+
+def rte(est: np.ndarray, ref: np.ndarray, delta: int = 10) -> float:
+    """Translational relative pose error RMSE (m) — see relative_pose_error."""
+    return relative_pose_error(est, ref, delta)[0]
 
 
 def path_length(xy: np.ndarray) -> float:
@@ -67,7 +115,9 @@ def loop_recall_precision(
     A keyframe j is a ground-truth *revisit* if some earlier keyframe
     i <= j - min_separation lies within dist_thresh meters of it.  An
     accepted loop (i, j) is *correct* if the two keyframes' true positions
-    are within dist_thresh.
+    are within dist_thresh AND j - i >= min_separation — the same separation
+    constraint that defines a revisit, so a trivially-near pair like
+    (j-2, j) can neither inflate precision nor mark j as detected.
 
     loop_pairs: iterable of (prev_idx, curr_idx); gt_kf_xy: (N, 2) true
     keyframe positions.  Returns (recall, precision); recall is NaN when the
@@ -86,7 +136,8 @@ def loop_recall_precision(
     for i, j in loop_pairs:
         i, j = int(i), int(j)
         total += 1
-        if 0 <= i < n and 0 <= j < n and d[i, j] < dist_thresh:
+        if 0 <= i < n and 0 <= j < n and d[i, j] < dist_thresh \
+                and (j - i) >= min_separation:
             correct += 1
             detected[j] = True
     num_revisits = int(revisit.sum())
