@@ -240,7 +240,14 @@ def _chain_precond(g: GraphArrays, cfg: PgoConfig, lam: float):
     adjoints) is ignored — a preconditioner only needs to be SPD and close.
 
     The gauge (node 0) gets zero edge weight, pinning delta_0 = 0 exactly
-    (matching the residuals' hard gauge freeze)."""
+    (matching the residuals' hard gauge freeze).
+
+    Invalid (padding / session-gap) edges get the SAME weight as valid ones
+    rather than the bare damping lam: with winv = 1/lam (~1e6) the cumsums
+    would amplify padded-coordinate noise by ~1e10 relative to the valid
+    scale — empirically benign at lam=1e-6 but fragile as lm_lambda0 or the
+    capacity changes.  A preconditioner only needs to be SPD and close, so
+    over-weighting dead edges (whose residuals are exactly zero) is safe."""
     N = g.poses.shape[0]
     s_odom = jnp.concatenate(
         [
@@ -248,7 +255,7 @@ def _chain_precond(g: GraphArrays, cfg: PgoConfig, lam: float):
             jnp.full((3,), 1.0 / cfg.odom_sigma_rot**2),
         ]
     )
-    w = g.odom_valid.astype(jnp.float32)[:, None] * s_odom[None, :] + lam
+    w = jnp.broadcast_to(s_odom[None, :], (N, 6)) + lam
     winv = 1.0 / w
     winv = winv.at[0].set(0.0)   # gauge: u_0 = x_0 frozen at 0
 

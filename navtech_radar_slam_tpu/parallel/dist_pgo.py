@@ -3,11 +3,15 @@
 The Schur-complement story from SURVEY §7 / BASELINE.json realized the
 matvec-free way: the GN normal-equation matvec  H v = Jᵀ(J v)  decomposes
 over *factors*, so each device evaluates the jvp/vjp through its own slice
-of the odometry/GPS factors (sharded along the node axis) and one `psum`
-reduces the partial matvecs.  Poses and the (few) loop factors are
-replicated; CG runs replicated on every device — its state is O(N·6),
-trivial next to the factor work.  The same program runs on 1 chip, 8 chips,
-or a multi-host slice: only the mesh changes.
+of the factors and one `psum` reduces the partial matvecs.  ALL factor
+classes are sharded: odometry and GPS factors along the node axis, loop
+factors along the edge axis (round-robin is fine — any partition works
+because the psum merges partial Jᵀ(Jv) sums exactly), so loop-heavy graphs
+(loops ∝ nodes in long/multi-session runs) scale with the mesh instead of
+serializing on one shard.  Poses are replicated; CG runs replicated on
+every device — its state is O(N·6), trivial next to the factor work.  The
+same program runs on 1 chip, 8 chips, or a multi-host slice: only the mesh
+changes.
 """
 
 from __future__ import annotations
@@ -45,11 +49,12 @@ def _local_residuals(
     gps_w_sh,
     cfg: PgoConfig,
     axis: str,
+    shard_loops: bool,
 ):
     """Whitened residuals of THIS shard's factors (flat vector).
 
-    Shard-local arrays carry a leading N/d dimension; delta and poses are
-    replicated; loops are evaluated only on shard 0 (masked elsewhere)."""
+    Shard-local arrays carry a leading N/d (node-sharded) or L/d
+    (edge-sharded loops) dimension; delta and poses are replicated."""
     N = poses.shape[0]
     ns = odom_meas_sh.shape[0]
     shard = jax.lax.axis_index(axis)
@@ -71,15 +76,16 @@ def _local_residuals(
     )
     r_odom = r_odom * s_odom[None, :] * odom_valid_sh[:, None]
 
-    # loop factors: replicated, evaluated once (shard 0)
-    on0 = (shard == 0).astype(jnp.float32)
+    # loop factors: THIS shard's L/d slice of the edge partition (or, in
+    # the replicated fallback, all loops masked to shard 0)
     r_loop = jax.vmap(_between_residual_masked)(
         Pu[loop_i], Pu[loop_j], loop_meas, loop_valid
     )
     r_loop = (
-        r_loop / cfg.loop_sigma
-        * (loop_valid * jnp.sqrt(loop_w))[:, None] * on0
+        r_loop / cfg.loop_sigma * (loop_valid * jnp.sqrt(loop_w))[:, None]
     )
+    if not shard_loops:
+        r_loop = r_loop * (shard == 0).astype(jnp.float32)
 
     # GPS factors on this shard's nodes
     t = Pu[gidx][:, :3, 3]
@@ -99,13 +105,13 @@ def _sharded_gn_step(
     odom_meas_sh, odom_valid_sh,
     loop_i, loop_j, loop_meas, loop_valid,
     gps_meas_sh, gps_valid_sh,
-    cfg: PgoConfig, axis: str, lam: float,
+    cfg: PgoConfig, axis: str, lam: float, shard_loops: bool,
 ):
     """One IRLS+GN step, executed inside shard_map."""
     N = poses.shape[0]
     zero = jnp.zeros((N, 6), poses.dtype)
 
-    # IRLS weights (loops replicated; gps local)
+    # IRLS weights (loops: this shard's slice; gps local)
     r_loop_raw = jax.vmap(_between_residual_masked)(
         poses[loop_i], poses[loop_j], loop_meas, loop_valid
     ) / cfg.loop_sigma
@@ -121,7 +127,7 @@ def _sharded_gn_step(
     rfun = lambda d: _local_residuals(
         d, poses, num_nodes, odom_meas_sh, odom_valid_sh,
         loop_i, loop_j, loop_meas, loop_valid,
-        gps_meas_sh, gps_valid_sh, loop_w, gps_w_sh, cfg, axis,
+        gps_meas_sh, gps_valid_sh, loop_w, gps_w_sh, cfg, axis, shard_loops,
     )
     r0, vjp = jax.vjp(rfun, zero)
 
@@ -141,9 +147,10 @@ def _sharded_gn_step(
     if cfg.preconditioner == "chain":
         # chain preconditioner (see models.posegraph._chain_precond): CG
         # state is replicated, so each device applies the same two cumsums
-        # locally; only the odometry validity needs one (N,)-bool all_gather
-        ov = jax.lax.all_gather(odom_valid_sh, axis, tiled=True)
-        w = ov.astype(jnp.float32)[:, None] * s2[None, :] + lam
+        # locally.  Invalid edges get valid-edge weight (not 1/lam — see the
+        # single-device docstring), which also removes the all_gather of the
+        # validity mask the weight used to depend on.
+        w = jnp.broadcast_to(s2[None, :], (N, 6)) + lam
         winv = (1.0 / w).at[0].set(0.0)
 
         def precond(v):
@@ -167,18 +174,26 @@ def make_distributed_solver(mesh: Mesh, cfg: PgoConfig, axis: str = "bank"):
     """Jitted sharded solve: GraphArrays -> updated poses.
 
     Expects odom_meas/odom_valid/gps_meas/gps_valid device-sharded along the
-    node axis and everything else replicated (see tests/test_parallel.py and
-    __graft_entry__.dryrun_multichip)."""
+    node axis, loop_i/loop_j/loop_meas/loop_valid device-sharded along the
+    edge axis, and poses replicated (see tests/test_parallel.py and
+    __graft_entry__.dryrun_multichip).  Arrays arriving with a different
+    placement are resharded by jit — correct, just slower."""
 
+    # loop edges shard only when the capacity divides the mesh size (tiny
+    # test capacities may not); in the replicated fallback each shard sees
+    # all loops, so they are masked to shard 0 to keep the psum from
+    # double-counting them
+    shard_loops = cfg.max_loop_edges % mesh.size == 0
+    lp = P(axis) if shard_loops else P()
     step = shard_map(
         functools.partial(_sharded_gn_step, cfg=cfg, axis=axis,
-                          lam=cfg.lm_lambda0),
+                          lam=cfg.lm_lambda0, shard_loops=shard_loops),
         mesh=mesh,
         in_specs=(
             P(), P(),              # poses, num_nodes
-            P(axis), P(axis),      # odom shards
-            P(), P(), P(), P(),    # loops replicated
-            P(axis), P(axis),      # gps shards
+            P(axis), P(axis),      # odom shards (node axis)
+            lp, lp, lp, lp,        # loop shards (edge axis) or replicated
+            P(axis), P(axis),      # gps shards (node axis)
         ),
         out_specs=P(),
         check_vma=False,

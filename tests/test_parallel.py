@@ -85,15 +85,20 @@ def test_distributed_pgo_matches_single_device(rng):
     # single-device reference
     ref = pg.make_solver(cfg)(graph.g)
 
-    # distributed
+    # distributed (factor arrays sharded: odom/gps on nodes, loops on edges)
     m = mesh_mod.make_mesh(8)
     solver = make_distributed_solver(m, cfg)
     g = graph.g
+    sh = mesh_mod.bank_sharding(m)
     sharded = g._replace(
-        odom_meas=jax.device_put(g.odom_meas, mesh_mod.bank_sharding(m)),
-        odom_valid=jax.device_put(g.odom_valid, mesh_mod.bank_sharding(m)),
-        gps_meas=jax.device_put(g.gps_meas, mesh_mod.bank_sharding(m)),
-        gps_valid=jax.device_put(g.gps_valid, mesh_mod.bank_sharding(m)),
+        odom_meas=jax.device_put(g.odom_meas, sh),
+        odom_valid=jax.device_put(g.odom_valid, sh),
+        gps_meas=jax.device_put(g.gps_meas, sh),
+        gps_valid=jax.device_put(g.gps_valid, sh),
+        loop_i=jax.device_put(g.loop_i, sh),
+        loop_j=jax.device_put(g.loop_j, sh),
+        loop_meas=jax.device_put(g.loop_meas, sh),
+        loop_valid=jax.device_put(g.loop_valid, sh),
     )
     poses_dist = solver(sharded)
 
@@ -149,6 +154,104 @@ def test_engine_with_mesh_matches_single_device():
         return any(abs(a[0] - b[0]) <= 2 and abs(a[1] - b[1]) <= 2 for b in bs)
     assert sum(matched(a, ls) for a in lm) >= len(lm) // 2, (lm, ls)
     assert sum(matched(b, lm) for b in ls) >= len(ls) // 2, (lm, ls)
+    np.testing.assert_allclose(
+        eng_m.trajectory()[:, :3, 3], eng_s.trajectory()[:, :3, 3], atol=0.1
+    )
+
+
+def test_distributed_pgo_loop_heavy_edge_sharding(rng):
+    """Loops ∝ nodes (the long-run / multi-session regime VERDICT r1 flagged
+    as a shard-0 hotspot): edge-sharded loop factors must reproduce the
+    single-device solve."""
+    cfg = dataclasses.replace(
+        PgoConfig(), max_nodes=64, max_loop_edges=32, gn_iters=6, cg_iters=80,
+        odom_sigma_rot=0.01, odom_sigma_trans=0.05,
+    )
+    graph = pg.PoseGraph(cfg)
+    pose = np.eye(4, dtype=np.float32)
+    graph.add_node(pose)
+    gt = [pose]
+    for k in range(1, 60):
+        gt.append(gt[-1] @ np.asarray(
+            geo.se2_to_se3(jnp.asarray([1.0, 0, 0], jnp.float32))))
+        meas = np.asarray(geo.se2_to_se3(jnp.asarray(
+            [1.0 + rng.normal(0, 0.05), rng.normal(0, 0.05),
+             rng.normal(0, 0.01)], jnp.float32)))
+        pose = pose @ meas
+        graph.add_node(pose, odom_meas=meas)
+    # one loop every other node: 28 loops over 60 nodes
+    for j in range(4, 60, 2):
+        i = j - 4
+        graph.add_loop(i, j, np.asarray(
+            geo.se3_between(jnp.asarray(gt[i]), jnp.asarray(gt[j]))))
+    assert graph.num_loops == 28
+
+    ref = pg.make_solver(cfg)(graph.g)
+
+    m = mesh_mod.make_mesh(8)
+    sh = mesh_mod.bank_sharding(m)
+    assert cfg.max_loop_edges % m.size == 0  # the edge-sharded path
+    g = graph.g
+    sharded = g._replace(
+        odom_meas=jax.device_put(g.odom_meas, sh),
+        odom_valid=jax.device_put(g.odom_valid, sh),
+        gps_meas=jax.device_put(g.gps_meas, sh),
+        gps_valid=jax.device_put(g.gps_valid, sh),
+        loop_i=jax.device_put(g.loop_i, sh),
+        loop_j=jax.device_put(g.loop_j, sh),
+        loop_meas=jax.device_put(g.loop_meas, sh),
+        loop_valid=jax.device_put(g.loop_valid, sh),
+    )
+    poses_dist = make_distributed_solver(m, cfg)(sharded)
+
+    n = graph.num_nodes
+    np.testing.assert_allclose(
+        np.asarray(poses_dist[:n, :3, 3]), np.asarray(ref.poses[:n, :3, 3]),
+        atol=5e-2,
+    )
+
+
+def test_engine_mesh_growth_preserves_shardings():
+    """Capacity growth under a mesh must re-apply the bank sharding to every
+    grown array (bank + graph factor arrays) — no silent resharding — and
+    still match the single-device engine's trajectory."""
+    import dataclasses as dc
+    import os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam import small_cfg
+    from navtech_radar_slam_tpu.data import RadarSimulator
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+
+    base = small_cfg()
+    cfg = dc.replace(
+        base,
+        keyframes=dc.replace(base.keyframes, max_keyframes=16),
+        pgo=dc.replace(base.pgo, max_nodes=16, max_loop_edges=4),
+    )
+    sim = RadarSimulator(cfg.radar)
+    n = 40
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    scans = [sim.render(gt[i], noise_seed=i) for i in range(n)]
+
+    m = mesh_mod.make_mesh(8)
+    eng_m = SlamEngine(cfg, mesh=m)
+    eng_s = SlamEngine(cfg)
+    for i in range(n):
+        eng_m.process(scans[i], timestamp=i * 0.25)
+        eng_s.process(scans[i], timestamp=i * 0.25)
+
+    assert eng_m.cfg.keyframes.max_keyframes >= 32  # growth happened
+    sh = mesh_mod.bank_sharding(m)
+    for name, arr in [
+        ("bank", eng_m.bank),
+        ("odom_meas", eng_m.graph.g.odom_meas),
+        ("odom_valid", eng_m.graph.g.odom_valid),
+        ("gps_meas", eng_m.graph.g.gps_meas),
+        ("gps_valid", eng_m.graph.g.gps_valid),
+    ]:
+        assert arr.sharding.is_equivalent_to(sh, arr.ndim), (
+            f"{name} lost its sharding after growth: {arr.sharding}"
+        )
     np.testing.assert_allclose(
         eng_m.trajectory()[:, :3, 3], eng_s.trajectory()[:, :3, 3], atol=0.1
     )
