@@ -65,7 +65,9 @@ class FeatureConfig:
     #: cen2018 threshold: mean + zq * std per azimuth
     cen2018_zq: float = 3.0
     #: cen2019 additional noise gate: peaks must exceed mean + peak_zq * std
-    #: of their azimuth's power distribution (rejects noise-floor regions)
+    #: of their azimuth's power distribution (rejects noise-floor regions).
+    #: An implementation addition over the paper's pure h > mean(h)
+    #: statistic (FIDELITY.md); <= 0 disables it (paper-pure mask)
     peak_zq: float = 3.0
     #: static feature capacity (padded; validity-masked)
     max_features: int = 1024
@@ -156,6 +158,14 @@ class ScanContextConfig:
     num_sector: int = 60        # PC_NUM_SECTOR (h:86)
     max_radius: float = 80.0    # PC_MAX_RADIUS (h:87)
     lidar_height: float = 2.0   # z lift added before binning (h:83)
+    #: build the descriptor from only the strongest K features (the caller's
+    #: cloud is in detector-power order — slot index IS the strength rank).
+    #: The weak tail of a large feature budget is speckle-unstable and
+    #: scrambles the occupancy image: measured same-pose SC distance 0.62
+    #: with the full 1024-feature budget vs 0.00 with the strongest 512
+    #: (true one-lap revisit 0.09, unrelated pose 0.74 — the 0.45 gate only
+    #: works below the cap).  <= 0 uses every valid feature.
+    max_desc_features: int = 512
     num_exclude_recent: int = 30    # NUM_EXCLUDE_RECENT (h:92)
     num_candidates: int = 10        # NUM_CANDIDATES_FROM_TREE (h:93) is 3 on
     # 20-dim ring keys; batched search makes a larger candidate set free.
@@ -176,7 +186,21 @@ class ScanContextConfig:
 @dataclass(frozen=True)
 class IcpConfig:
     """Submap-to-scan ICP loop verification
-    (laserPosegraphOptimization.cpp:330-406)."""
+    (laserPosegraphOptimization.cpp:330-406).
+
+    Fitness-gate semantics: the reference accepts a loop iff PCL's fitness
+    (mean squared NN distance) <= 0.3 after voxelizing the stacked submap at
+    0.4 m (cpp:347-351, 389).  That absolute gate assumes a particular
+    feature-noise scale; radar feature localization error grows with range
+    (tangential sigma ~ r * sigma_azimuth), so a fixed m² threshold is
+    either too strict at long range or too lax up close.  The TPU-native
+    default is therefore ``fitness_metric="whitened"``: each correspondence's
+    squared distance is normalized by its expected variance
+    2*(sigma_range² + (r * sigma_azimuth)²) from the same anisotropic noise
+    model the ORORA registration uses, making the gate scale-free (≈1.0 for
+    a perfectly aligned loop, >> 1 for a false one).  Set
+    ``fitness_metric="pcl"`` + ``fitness_thresh=0.3`` for reference-parity
+    gating."""
 
     submap_half_size: int = 25      # ±25 keyframes (line 358)
     max_corr_dist: float = 150.0    # setMaxCorrespondenceDistance (377)
@@ -185,8 +209,27 @@ class IcpConfig:
     #: precision; in f32 the per-iteration step floor is ~1e-5, so the
     #: TPU default is 1e-4 (still far below any meaningful motion).
     epsilon: float = 1e-4
-    fitness_thresh: float = 0.3     # acceptance gate (389)
-    submap_voxel_size: float = 0.4  # (347-351)
+    #: euclidean fitness epsilon (setEuclideanFitnessEpsilon, line 381):
+    #: converged when the mean-squared correspondence error changes by less
+    #: than this between iterations (PCL DefaultConvergenceCriteria)
+    euclidean_fitness_eps: float = 1e-6
+    #: "whitened" (default): noise-normalized mean squared NN error, gate is
+    #: scale-free (see class docstring); "pcl": raw mean squared NN distance
+    #: in m² (reference getFitnessScore semantics, gate 0.3 at cpp:389)
+    fitness_metric: str = "whitened"
+    #: acceptance gate.  Whitened metric calibration (simulator circuits,
+    #: tests/test_slam.py::test_fitness_gate_separates_true_and_false_loops):
+    #: true loops measure 0.002-0.01, planted false pairs 36-42; the
+    #: theoretical expectation for a true loop whose noise matches the model
+    #: is ~1.0, so 2.0 leaves margin for model mismatch on real data while
+    #: sitting >15x below the false-pair band.  For fitness_metric="pcl" use
+    #: the reference's 0.3 (cpp:389).
+    fitness_thresh: float = 2.0
+    #: noise model for the whitened metric (matches RegistrationConfig)
+    whiten_sigma_range: float = 0.25
+    whiten_sigma_azimuth_rad: float = 0.01745
+    #: stacked-submap voxel filter (cpp:347-351); <= 0 disables
+    submap_voxel_size: float = 0.4
     #: padded point capacities for the static-shape ICP problem
     max_query_points: int = 1024
     max_target_points: int = 8192
@@ -218,6 +261,14 @@ class PgoConfig:
     gn_iters: int = 8
     cg_iters: int = 64
     cg_tol: float = 1e-6
+    #: max keyframes a verified loop decision may sit in the host's deferred
+    #: queue before it is fetched and committed (the analogue of the
+    #: reference's asynchronous scLoopICPBuf, unbounded with a backlog
+    #: warning at 30, cpp:593-595).  1 = commit at the very next keyframe;
+    #: larger values amortize the host<->device decision fetch over many
+    #: keyframes (the streaming-throughput shape).  Output consumers
+    #: (current_pose/trajectory/map/checkpoint) always drain the queue.
+    loop_commit_defer: int = 8
     lm_lambda0: float = 1e-6
     #: CG preconditioner: "chain" inverts the odometry-chain Hessian exactly
     #: via prefix/suffix scans (information crosses the whole graph each CG

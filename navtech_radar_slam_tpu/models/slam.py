@@ -23,7 +23,15 @@ arrive asynchronously from a 1 Hz thread; here loop detection runs at a
 deterministic keyframe cadence, which can shift individual loop indices by
 a frame or two.  The trajectory-level behavior (ATE) is equivalent and the
 determinism makes runs exactly reproducible.
-"""
+
+Pipelined loop commits: the loop decision scalars (found/accepted/fitness/
+rel pose) of keyframe k are fetched at keyframe k+1 (or at the next output/
+checkpoint consumer), not synchronously — the deterministic analogue of the
+reference's asynchronous process_icp thread.  Device programs chain on array
+handles, so the graph the next keyframe sees is IDENTICAL to the synchronous
+schedule (the commit+refine still executes, in program order, before the
+next insert); only the host-blocking fetch moves off the critical path.
+Over a high-latency link this hides a full round-trip per keyframe."""
 
 from __future__ import annotations
 
@@ -39,6 +47,7 @@ from navtech_radar_slam_tpu.models import posegraph as pg
 from navtech_radar_slam_tpu.models.odometry import RadarOdometry, ScanFeatures
 from navtech_radar_slam_tpu.ops import icp as icp_ops
 from navtech_radar_slam_tpu.ops import scancontext as sc_ops
+from navtech_radar_slam_tpu.ops.voxel import voxel_dedup_mask
 from navtech_radar_slam_tpu.utils import geometry as geo
 
 
@@ -60,15 +69,14 @@ def _build_submap(
     num_kf: jnp.ndarray,
     half: int,
     max_pts: int,
+    voxel: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stack keyframes center±half into the center keyframe's *updated* pose
     frame (loopFindNearKeyframesCloud, laserPosegraphOptimization.cpp:330-352
-    — root_idx semantics at line 341), then pack to max_pts points.
-
-    The reference voxel-downsamples the stacked submap at 0.4 m (347-351);
-    radar feature clouds are already sparse, so packing the valid points to a
-    fixed budget replaces voxelization (documented divergence).  When the
-    window holds more valid points than the budget, points from keyframes
+    — root_idx semantics at line 341), voxel-filter the stacked cloud at
+    ``voxel`` meters (cpp:347-351; mask-based one-point-per-cell, see
+    ops/voxel.py for the centroid divergence note), then pack to max_pts
+    points.  When survivors exceed the budget, points from keyframes
     CLOSEST to the loop candidate win (a valid-first stable sort would keep
     window order and fill the whole budget from one side of the window)."""
     W = 2 * half + 1
@@ -84,9 +92,13 @@ def _build_submap(
     pts = jax.vmap(geo.se2_apply)(rel, c)          # (W, K, 2)
     flat = pts.reshape(-1, 2)
     vflat = v.reshape(-1)
+    vflat = voxel_dedup_mask(flat, vflat, voxel)
     # priority: valid, then keyframe proximity to the candidate
-    prio = jnp.where(v, (half + 1 - jnp.abs(offsets)).astype(jnp.float32)[:, None],
-                     -1.0).reshape(-1)
+    prio = jnp.where(
+        vflat.reshape(W, -1),
+        (half + 1 - jnp.abs(offsets)).astype(jnp.float32)[:, None],
+        -1.0,
+    ).reshape(-1)
     _, take = jax.lax.top_k(prio, max_pts)
     return flat[take], vflat[take]
 
@@ -94,10 +106,21 @@ def _build_submap(
 def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
                       num_kf, cfg: SlamConfig):
     """Submap build + ICP for a loop candidate (shared by both paths)."""
+    # cap the ICP query cloud at icp.max_query_points (valid points first,
+    # earliest-index order preserved) — the knob that bounds the NN matmul's
+    # query side when feature capacity exceeds what verification needs
+    mq = cfg.icp.max_query_points
+    if mq < q_xy.shape[0]:
+        K = q_xy.shape[0]
+        prio = q_valid.astype(jnp.float32) - jnp.arange(K) / (2.0 * K)
+        _, take = jax.lax.top_k(prio, mq)
+        q_xy = q_xy[take]
+        q_valid = q_valid[take]
     center = jnp.maximum(cand.idx, 0)
     tgt, tgt_valid = _build_submap(
         clouds, clouds_valid, poses_se2, center, num_kf,
         cfg.icp.submap_half_size, cfg.icp.max_target_points,
+        cfg.icp.submap_voxel_size,
     )
     # ICP aligns the query cloud into the candidate keyframe's frame.
     # Init from the ScanContext yaw (the reference discards it; we use
@@ -193,6 +216,9 @@ def _make_kf_step(cfg: SlamConfig):
 
     def fn(clouds, clouds_valid, bank, ring_keys, g, k, xy, valid,
            odo_pose_se2, prev_odo_se2, has_odom, do_detect):
+        # keyframe cloud voxel filter before store/descriptor (the reference
+        # downsamples at 0.4 m before both, cpp:482-495)
+        valid = voxel_dedup_mask(xy, valid, cfg.keyframes.keyframe_voxel_size)
         desc = sc_ops.make_scancontext(
             xy, jnp.zeros(xy.shape[0]), valid, cfg.scancontext
         )
@@ -301,14 +327,7 @@ class SlamEngine:
             # so the distributed path does not bucket; counts are ignored
             self._solve_fast = lambda g, n, l: g._replace(poses=dist_fast(g))
             self._solve_full = lambda g, n, l: g._replace(poses=dist_full(g))
-            # shard the graph's factor arrays along the node axis
-            gg = self.graph.g
-            self.graph.g = gg._replace(
-                odom_meas=jax.device_put(gg.odom_meas, self._bank_sharding),
-                odom_valid=jax.device_put(gg.odom_valid, self._bank_sharding),
-                gps_meas=jax.device_put(gg.gps_meas, self._bank_sharding),
-                gps_valid=jax.device_put(gg.gps_valid, self._bank_sharding),
-            )
+            self.graph.g = self._shard_graph_factors(self.graph.g)
             self.bank = jax.device_put(self.bank, self._bank_sharding)
         else:
             self._solve_fast = pg.make_bucketed_solver(fast_cfg)
@@ -326,6 +345,11 @@ class SlamEngine:
                 xy, jnp.zeros(xy.shape[0]), valid, c.scancontext
             )
         )
+        self._voxel_mask = jax.jit(
+            lambda xy, valid: voxel_dedup_mask(
+                xy, valid, c.keyframes.keyframe_voxel_size
+            )
+        )
 
         self.num_keyframes = 0
         self.movement_accum = 1e6      # first frame is always a keyframe
@@ -338,10 +362,37 @@ class SlamEngine:
         self.num_scans = 0
         self._kf_pending_since_loop = 0
         self._pending_gps: Optional[np.ndarray] = None
+        #: deferred loop decisions: (k, cand, res) device handles per
+        #: detection keyframe, fetched+committed once the queue reaches
+        #: cfg.pgo.loop_commit_defer or an output consumer drains it (see
+        #: module docstring "Pipelined loop commits")
+        self._pending_loops: List[Tuple[int, object, object]] = []
         #: first keyframe index of the *current* session (>0 after a prior
         #: session was attached; the graph has an odometry gap there)
         self.session_start = 0
         self._rebased = True
+
+    def _shard_graph_factors(self, gg):
+        """Device-put the graph's factor arrays onto the mesh: odometry/GPS
+        along the node axis, loop edges along the edge axis (matching
+        dist_pgo's in_specs, so per-keyframe solves never reshard).  Loop
+        arrays stay replicated when the capacity doesn't divide the mesh
+        (dist_pgo then masks them to shard 0)."""
+        sh = self._bank_sharding
+        gg = gg._replace(
+            odom_meas=jax.device_put(gg.odom_meas, sh),
+            odom_valid=jax.device_put(gg.odom_valid, sh),
+            gps_meas=jax.device_put(gg.gps_meas, sh),
+            gps_valid=jax.device_put(gg.gps_valid, sh),
+        )
+        if gg.loop_i.shape[0] % self.mesh.size == 0:
+            gg = gg._replace(
+                loop_i=jax.device_put(gg.loop_i, sh),
+                loop_j=jax.device_put(gg.loop_j, sh),
+                loop_meas=jax.device_put(gg.loop_meas, sh),
+                loop_valid=jax.device_put(gg.loop_valid, sh),
+            )
+        return gg
 
     # -- multi-session ------------------------------------------------------
 
@@ -404,11 +455,11 @@ class SlamEngine:
 
         if self.num_scans == 1:
             self._add_keyframe(pose, feats.xy, feats.valid, timestamp)
-            return self.current_pose()
+            return self._pose_estimate()
         if self.odometry.last_result is None:
             # first scan after a checkpoint resume: odometry carry was just
             # re-seeded, no relative motion available yet
-            return self.current_pose()
+            return self._pose_estimate()
 
         # keyframe gate: accumulated translation (cpp:455-470); integrate the
         # increment actually applied to the odometry pose (host copy — no
@@ -418,7 +469,7 @@ class SlamEngine:
         if self.movement_accum > c.keyframes.keyframe_meter_gap:
             self._add_keyframe(pose, feats.xy, feats.valid, timestamp)
             self.movement_accum = 0.0
-        return self.current_pose()
+        return self._pose_estimate()
 
     def process_chunk(self, powers, azimuths=None,
                       timestamps=None) -> np.ndarray:
@@ -430,8 +481,24 @@ class SlamEngine:
         per chunk; keyframing, loop closure and PGO then run per keyframe
         exactly as in process().  Semantically equivalent to S process()
         calls (same gate, same coast fallback); returns the optimized pose
-        after the last scan.  Chunks of a fixed S avoid re-jits."""
+        after the last scan.  Chunks of a fixed S avoid re-jits.
+
+        GPS caveat: add_gps() associates a fix with the NEXT keyframe; in
+        chunk mode that is the first keyframe created anywhere in the chunk,
+        a coarser association than the per-scan path provides (the CLI
+        guards --chunk against --use_gps for this reason; warned here so the
+        engine API does not silently mis-associate)."""
         from navtech_radar_slam_tpu.models import odometry as odo_mod
+
+        if self._pending_gps is not None and self.cfg.pgo.use_gps:
+            import warnings
+
+            warnings.warn(
+                "process_chunk with a pending GPS fix: the fix attaches to "
+                "the first keyframe in the chunk (per-scan association needs "
+                "process()); see SlamEngine.process_chunk docstring",
+                stacklevel=2,
+            )
 
         c = self.cfg
         odo = self.odometry
@@ -494,7 +561,7 @@ class SlamEngine:
                                    timestamps[i])
                 self.movement_accum = 0.0
         odo._coast = int(coast_h)
-        return self.current_pose()
+        return self._pose_estimate()
 
     # -- keyframe path ------------------------------------------------------
 
@@ -537,6 +604,12 @@ class SlamEngine:
                 make_distributed_solver,
             )
 
+            # re-apply the bank sharding the rebuilt arrays lost: without
+            # this every subsequent dispatch pays a silent reshard of the
+            # grown bank + factor arrays (they'd sit on default placement,
+            # contradicting the engine's sharded-shape contract above)
+            self.bank = jax.device_put(self.bank, self._bank_sharding)
+            self.graph.g = self._shard_graph_factors(self.graph.g)
             dist_fast = make_distributed_solver(self.mesh, fast_cfg)
             dist_full = make_distributed_solver(self.mesh, c.pgo)
             self._solve_fast = lambda g, n, l: g._replace(poses=dist_fast(g))
@@ -546,12 +619,21 @@ class SlamEngine:
 
     def _add_keyframe(self, odo_pose: np.ndarray, xy: jnp.ndarray,
                       valid: jnp.ndarray, timestamp: float):
+        # drain deferred decisions once the queue hits the configured depth
+        # (their refines then precede this insert in program order)
+        if len(self._pending_loops) >= self.cfg.pgo.loop_commit_defer:
+            self._flush_pending_loop()
         c = self.cfg
         k = self.num_keyframes
+        # growth margin: every queued decision may commit one more loop
         if k >= c.keyframes.max_keyframes - 1 or (
-            self.graph.num_loops >= c.pgo.max_loop_edges - 2
+            self.graph.num_loops + len(self._pending_loops)
+            >= c.pgo.max_loop_edges - 2
         ):
-            self._grow_capacity()
+            self._flush_pending_loop()
+            if (self.num_keyframes >= self.cfg.keyframes.max_keyframes - 1
+                    or self.graph.num_loops >= self.cfg.pgo.max_loop_edges - 2):
+                self._grow_capacity()
             c = self.cfg
 
         self.kf_times.append(timestamp)
@@ -565,7 +647,10 @@ class SlamEngine:
         )
 
         if self._sharded_detect is not None:
-            # mesh path: insert + desc separately; detection runs sharded
+            # mesh path: insert + desc separately; detection runs sharded.
+            # Same keyframe voxel filter the fused single-device step applies
+            # (banks must stay bit-identical across the two paths).
+            valid = self._voxel_mask(xy, valid)
             desc = self._make_desc(xy, valid)
             (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
              self.graph.g) = self._kf_insert(
@@ -600,9 +685,27 @@ class SlamEngine:
 
         refined = False
         if c.do_slam:
-            refined = self._handle_loop_decision(
-                k, xy, valid, desc, cand, res, do_detect
-            )
+            if do_detect:
+                if self._sharded_detect is not None:
+                    cand = self._sharded_detect(
+                        desc, self.bank, jnp.asarray(k + 1, jnp.int32)
+                    )
+                    res = self._verify_pipeline(
+                        cand, self.clouds, self.clouds_valid,
+                        self.graph.g.poses, xy, valid,
+                        jnp.asarray(k + 1, jnp.int32),
+                    )
+                # defer the decision fetch: commit happens once the queue
+                # reaches loop_commit_defer or an output consumer drains it
+                # (no host stall here)
+                self._pending_loops.append((k, cand, res))
+            elif (k + 1) % c.scancontext.detect_every_n_keyframes == 0:
+                # gate was the exclude-recent window (reference cpp:558):
+                # no refine either, matching the reference cadence
+                pass
+            else:
+                self._refine_graph(full=False)
+                refined = self.graph.num_loops > 0
         # refresh the host pose cache LAZILY: keep the device handle and
         # only block in current_pose() — over a high-latency link this
         # collapses one ~26 ms round-trip per keyframe into one per
@@ -614,47 +717,49 @@ class SlamEngine:
         self._cur_pose_dev = pose_dev
         self._cur_pose = None
 
-    def _handle_loop_decision(self, k: int, xy, valid, desc, cand, res,
-                              do_detect: bool) -> bool:
-        """Fetch the loop decision (if a detection ran), update the graph,
-        run the per-keyframe refine.  Returns True iff a solve ran (the
-        pose cache must then come from the solved graph)."""
-        c = self.cfg
-        if not do_detect:
-            if (k + 1) % c.scancontext.detect_every_n_keyframes == 0:
-                # gate was the exclude-recent window (reference cpp:558):
-                # no refine either, matching the previous behavior
-                return False
-            self._refine_graph(full=False)
-            return self.graph.num_loops > 0
-
-        if self._sharded_detect is not None:
-            cand = self._sharded_detect(
-                desc, self.bank, jnp.asarray(k + 1, jnp.int32)
-            )
-            res = self._verify_pipeline(
-                cand, self.clouds, self.clouds_valid, self.graph.g.poses,
-                xy, valid, jnp.asarray(k + 1, jnp.int32),
-            )
-        # one fetch for every decision scalar of this keyframe
-        found, accepted, idx, dist, fitness, rel2 = jax.device_get(
+    def _flush_pending_loop(self):
+        """Drain the deferred decision queue IN ORDER: one batched fetch for
+        every queued keyframe's decision scalars, then per decision add the
+        loop factor and run the per-keyframe refine (full after an accepted
+        loop, fast otherwise — all refine dispatches are async), finally
+        refresh the pose cache from the solved graph."""
+        if not self._pending_loops:
+            return
+        pending = self._pending_loops
+        self._pending_loops = []
+        # ONE host<->device round trip for the whole queue
+        fetched = jax.device_get([
             (cand.found, res.accepted, cand.idx, cand.dist, res.fitness,
              res.rel_pose)
-        )
-        if bool(found) and bool(accepted):
-            prev_idx = int(idx)
-            rel2 = np.asarray(rel2, np.float64)
-            meas = geo.se2_to_se3_np(rel2).astype(np.float32)
-            if not self._rebased and prev_idx < self.session_start <= k:
-                self._rebase_session(prev_idx, k, meas)
-            self.graph.add_loop(prev_idx, k, meas)
-            self.loops.append(
-                LoopEvent(prev_idx, k, float(dist), float(fitness), rel2)
-            )
-            self._refine_graph(full=True)
-        else:
+            for _, cand, res in pending
+        ])
+        solved = False
+        for (k, _, _), (found, accepted, idx, dist, fitness, rel2) in zip(
+            pending, fetched
+        ):
+            if bool(found) and bool(accepted):
+                prev_idx = int(idx)
+                rel2 = np.asarray(rel2, np.float64)
+                meas = geo.se2_to_se3_np(rel2).astype(np.float32)
+                if not self._rebased and prev_idx < self.session_start <= k:
+                    self._rebase_session(prev_idx, k, meas)
+                self.graph.add_loop(prev_idx, k, meas)
+                self.loops.append(
+                    LoopEvent(prev_idx, k, float(dist), float(fitness), rel2)
+                )
+                self._refine_graph(full=True)
+                solved = True
+        # consecutive fast refines on an unchanged factor set are redundant
+        # (each is one warm-started GN iteration); one per drain keeps the
+        # iSAM2-like drift absorption at a fraction of the device time
+        if not solved:
             self._refine_graph(full=False)
-        return self.graph.num_loops > 0
+        if self.graph.num_loops > 0:
+            self._cur_pose_dev = self._last_pose_se2(
+                self.graph.g.poses,
+                jnp.asarray(self.num_keyframes - 1, jnp.int32),
+            )
+            self._cur_pose = None
 
     def _rebase_session(self, prior_idx: int, curr_idx: int, loop_meas):
         """First inter-session loop: rigidly move the whole current session
@@ -685,7 +790,20 @@ class SlamEngine:
     # -- outputs ------------------------------------------------------------
 
     def current_pose(self) -> np.ndarray:
-        """Latest keyframe's optimized pose [x, y, theta]."""
+        """Latest keyframe's optimized pose [x, y, theta].
+
+        Output consumer: drains the deferred loop-commit queue first, so
+        the pose reflects every verified loop.  process()/process_chunk()
+        return the cheaper _pose_estimate(), which does not."""
+        if self.num_keyframes == 0:
+            return np.zeros(3)
+        self._flush_pending_loop()
+        return self._pose_estimate()
+
+    def _pose_estimate(self) -> np.ndarray:
+        """Latest optimized pose WITHOUT draining the deferred-commit queue
+        (may lag current_pose() by up to loop_commit_defer keyframes' loop
+        corrections — the same lag the reference's async ICP thread has)."""
         if self.num_keyframes == 0:
             return np.zeros(3)
         if self._cur_pose is None:
@@ -701,6 +819,7 @@ class SlamEngine:
     def trajectory(self) -> np.ndarray:
         """(N_kf, 4, 4) optimized keyframe poses (the /aft_pgo_path output,
         laserPosegraphOptimization.cpp:620-630)."""
+        self._flush_pending_loop()
         return self.graph.poses()
 
     def aggregate_map(self, voxel: Optional[float] = None,
@@ -713,6 +832,7 @@ class SlamEngine:
         stride = stride if stride is not None else c.map.keyframe_stride
         if self.num_keyframes == 0:
             return np.zeros((0, 2))
+        self._flush_pending_loop()
         poses = self.trajectory()
         pts_out = []
         clouds = np.asarray(self.clouds[: self.num_keyframes])

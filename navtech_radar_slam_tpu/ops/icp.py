@@ -98,19 +98,24 @@ def icp_se2(
     """Align src onto tgt starting from init_pose ([x, y, theta]).
 
     Mirrors the reference's PCL configuration: max correspondence distance
-    150 m, 100 iterations, transformation epsilon 1e-6, fitness gate 0.3
-    (laserPosegraphOptimization.cpp:376-389)."""
+    150 m, 100 iterations, transformation epsilon 1e-6, euclidean fitness
+    epsilon 1e-6, fitness gate 0.3 (laserPosegraphOptimization.cpp:376-389).
+    Convergence is either criterion (PCL DefaultConvergenceCriteria): the
+    transform step below cfg.epsilon, or the mean-squared correspondence
+    error changing by less than cfg.euclidean_fitness_eps between
+    iterations."""
     max_d2 = cfg.max_corr_dist * cfg.max_corr_dist
 
     def cond(carry):
-        _, converged, it = carry
+        _, converged, it, _ = carry
         return (~converged) & (it < cfg.max_iters)
 
     def body(carry):
-        pose, _, it = carry
+        pose, _, it, prev_mse = carry
         moved = geo.se2_apply(pose, src)
         nn_d2, nn_idx = nearest_neighbors(moved, tgt, tgt_valid)
         w = (src_valid & (nn_d2 < max_d2)).astype(jnp.float32)
+        mse = jnp.sum(w * nn_d2) / jnp.maximum(jnp.sum(w), 1.0)
         matched = tgt[nn_idx]
         upd = _weighted_se2_horn(moved, matched, w)
         new_pose = geo.se2_mul(upd, pose)
@@ -118,19 +123,42 @@ def icp_se2(
         small = (step[0] < cfg.epsilon) & (step[1] < cfg.epsilon) & (
             step[2] < cfg.epsilon
         )
-        return (new_pose, small, it + 1)
+        mse_static = jnp.abs(mse - prev_mse) < cfg.euclidean_fitness_eps
+        return (new_pose, small | mse_static, it + 1, mse)
 
-    pose, converged, _ = jax.lax.while_loop(
-        cond, body, (init_pose, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    pose, converged, _, _ = jax.lax.while_loop(
+        cond, body,
+        (init_pose, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+         jnp.asarray(jnp.inf, jnp.float32)),
     )
 
-    # final fitness: PCL getFitnessScore = mean sq dist of in-range corrs
+    # final fitness over in-range correspondences.  "pcl": PCL
+    # getFitnessScore = mean squared NN distance (reference cpp:389 gates it
+    # at 0.3).  "whitened" (default): each squared distance normalized by
+    # its expected variance under the anisotropic radar noise model —
+    # 2 * (sigma_r² + (r·sigma_az)²), r the query point's sensing range
+    # (src is in its keyframe's sensor frame; the factor 2 covers the
+    # independent noise of both clouds) — so the gate is scale-free:
+    # ~1 for a true, converged loop at any range, >> 1 for a false one.
     moved = geo.se2_apply(pose, src)
     nn_d2, _ = nearest_neighbors(moved, tgt, tgt_valid)
     in_range = src_valid & (nn_d2 < max_d2)
     n = jnp.sum(in_range)
-    fitness = jnp.sum(jnp.where(in_range, nn_d2, 0.0)) / jnp.maximum(n, 1)
-    accepted = converged & (fitness <= cfg.fitness_thresh) & (n >= 10)
+    if cfg.fitness_metric == "whitened":
+        r2 = jnp.sum(src * src, axis=-1)
+        sig2 = cfg.whiten_sigma_range**2 + r2 * cfg.whiten_sigma_azimuth_rad**2
+        contrib = nn_d2 / (2.0 * sig2)
+    else:
+        contrib = nn_d2
+    fitness = jnp.sum(jnp.where(in_range, contrib, 0.0)) / jnp.maximum(n, 1)
+    # acceptance: PCL's hasConverged() (cpp:389) is true even when the run
+    # merely exhausted max iterations (CONVERGENCE_CRITERIA_ITERATIONS with
+    # failure_after_max_iter_ = false, the default) — so the reference's
+    # gate is effectively fitness-only.  Requiring the strict step/mse
+    # criterion here rejected ~half the true loops (oscillating NN
+    # assignments keep the step above epsilon at tiny fitness); `converged`
+    # still reports the strict flag for diagnostics.
+    accepted = (fitness <= cfg.fitness_thresh) & (n >= 10)
     return IcpResult(
         rel_pose=pose,
         fitness=fitness,
