@@ -214,11 +214,16 @@ def cen2019_features(
 
     h = sp * (1.0 - g)
     h_mean = jnp.sum(h * region) / jnp.maximum(jnp.sum(region), 1)
-    # per-azimuth noise gate: a region must also rise above the azimuth's
-    # noise statistics, not merely above the global mean of h
-    az_var = jnp.sum(jnp.square(s_smooth - az_mean) * region, axis=1, keepdims=True) / denom
-    noise_gate = az_mean + fcfg.peak_zq * jnp.sqrt(az_var)
-    mask = (h > h_mean) & (s_smooth > noise_gate) & region
+    mask = (h > h_mean) & region
+    if fcfg.peak_zq > 0:
+        # per-azimuth noise gate (implementation addition over the paper's
+        # pure h > mean(h) statistic — see FIDELITY.md): a region must also
+        # rise above its azimuth's noise statistics; peak_zq <= 0 disables
+        az_var = jnp.sum(
+            jnp.square(s_smooth - az_mean) * region, axis=1, keepdims=True
+        ) / denom
+        noise_gate = az_mean + fcfg.peak_zq * jnp.sqrt(az_var)
+        mask = mask & (s_smooth > noise_gate)
 
     peaks = run_peaks(s_smooth, mask)
     # rank and report peaks by *smoothed* power: single-bin speckle spikes

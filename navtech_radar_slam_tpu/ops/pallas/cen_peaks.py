@@ -90,8 +90,10 @@ def _kernel(power_ref, out_ref, *, taps, min_bin, nb, zq):
     sp = jnp.maximum(sm - az_mean, 0.0)
     h = sp * (1.0 - g)
     h_mean = jnp.sum(h * regf) / jnp.maximum(jnp.sum(regf), 1.0)
-    noise_gate = az_mean + zq * jnp.sqrt(az_var)
-    mask = (h > h_mean) & (sm > noise_gate) & region
+    mask = (h > h_mean) & region
+    if zq > 0:  # noise gate optional: zq <= 0 = paper-pure statistic
+        noise_gate = az_mean + zq * jnp.sqrt(az_var)
+        mask = mask & (sm > noise_gate)
 
     # one peak per contiguous masked run (segmented scans along lanes);
     # mask travels as float32 where it must be rolled (Mosaic rotate limit)

@@ -45,11 +45,20 @@ def make_scancontext(
 
     xy: (K, 2) sensor-frame meters; z: (K,) heights (0 for radar features —
     the z + lidar_height lift then yields a 2.0/0.0 occupancy image exactly
-    like the reference's radar usage, SURVEY §3.5)."""
+    like the reference's radar usage, SURVEY §3.5).
+
+    When cfg.max_desc_features > 0 only the first K slots contribute: the
+    pipeline's clouds are emitted in detector-power order (ops/cen2019
+    _finalize_topk), so this keeps the strongest, speckle-stable targets and
+    drops the weak tail that scrambles the occupancy image (see the config
+    field's calibration note).  Callers with unordered clouds should set it
+    to 0 or pre-sort."""
     r = jnp.linalg.norm(xy, axis=-1)
     theta = jnp.mod(jnp.arctan2(xy[:, 1], xy[:, 0]), 2.0 * jnp.pi)
 
     in_range = valid & (r < cfg.max_radius) & (r > 1e-3)
+    if 0 < cfg.max_desc_features < xy.shape[0]:
+        in_range = in_range & (jnp.arange(xy.shape[0]) < cfg.max_desc_features)
     ring = jnp.clip(
         (r / cfg.max_radius * cfg.num_ring).astype(jnp.int32), 0, cfg.num_ring - 1
     )

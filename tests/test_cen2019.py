@@ -103,3 +103,50 @@ def test_features_to_xy():
     r0 = 100.5 * cfg.radar.range_resolution
     assert np.isclose(np.linalg.norm(xy[0]), r0, atol=1e-3)
     assert np.isclose(np.linalg.norm(xy[1]), 1000.5 * cfg.radar.range_resolution, atol=1e-2)
+
+
+def test_feature_count_distribution_and_stability():
+    """FIDELITY.md calibration pins, measured at an uncapped budget (4096)
+    so the detector's OWN output is visible behind the max_features cap:
+
+    (a) gated (default) per-scan counts sit in a stable band (~2800 on the
+        simulator circuit) — so the default 1024 cap selects the strongest
+        ~third (divergence #3, active by design);
+    (b) the noise gate (divergence #2) only REMOVES peaks — the paper-pure
+        mask (peak_zq=0) floods with noise-floor runs (saturates even 4096),
+        which is the empirical justification for the gate;
+    (c) counts are stable under the speckle seed."""
+    import dataclasses
+
+    cfg = SlamConfig()
+    fcfg = dataclasses.replace(cfg.features, max_features=4096)
+    fcfg_pure = dataclasses.replace(fcfg, peak_zq=0.0)
+    sim = RadarSimulator(cfg.radar)
+    gt = sim.circuit_trajectory(10, radius=10.0, speed=6.0)
+
+    extract = jax.jit(lambda p: cen2019.extract_features(p, fcfg, cfg.radar))
+    extract_pure = jax.jit(
+        lambda p: cen2019.extract_features(p, fcfg_pure, cfg.radar)
+    )
+
+    counts, counts_pure = [], []
+    for i in range(10):
+        scan = jnp.asarray(sim.render(gt[i], noise_seed=i))
+        counts.append(int(np.asarray(extract(scan).valid).sum()))
+        counts_pure.append(int(np.asarray(extract_pure(scan).valid).sum()))
+
+    counts = np.asarray(counts)
+    # (a) stable band, cap not binding at 4096 (the detector's true count)
+    assert (counts > 500).all() and (counts < fcfg.max_features).all(), counts
+    assert counts.std() / counts.mean() < 0.2, counts
+
+    # (b) gate removes, never adds
+    for c, cp in zip(counts, counts_pure):
+        assert cp >= c, (c, cp)
+
+    # (c) seed stability: same pose re-rendered with different speckle
+    base = [int(np.asarray(extract(
+        jnp.asarray(sim.render(gt[3], noise_seed=100 + s))).valid).sum())
+        for s in range(4)]
+    base = np.asarray(base)
+    assert base.max() - base.min() < 0.2 * base.mean(), base
