@@ -63,7 +63,62 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream N scans per device dispatch (device-side "
                         "lax.scan odometry; 0 = per-scan). Incompatible "
                         "with --use_gps (per-scan association).")
+    p.add_argument("--live", type=_bool, default=True,
+                   help="emit live_path_tum.txt / live_map.csv snapshots at "
+                        "MapConfig.path_rate_hz / map_rate_hz (wall clock) "
+                        "during the run — the reference's rviz publishers")
     return p
+
+
+class LiveOutputs:
+    """Periodic trajectory/map snapshots during a run — the offline analogue
+    of the reference's rviz publishers (pubPath @5 Hz /aft_pgo_path,
+    pubMap @0.1 Hz /aft_pgo_map, laserPosegraphOptimization.cpp:620-668).
+
+    Rates come from MapConfig.path_rate_hz / map_rate_hz and are WALL-CLOCK
+    (like the reference's rate-limited threads); a rate of 0 disables that
+    stream.  Files are written atomically (tmp + rename) so a live viewer
+    tailing the directory never reads a partial snapshot."""
+
+    def __init__(self, output_dir: str, cfg, eng):
+        self.dir = output_dir
+        self.cfg = cfg
+        self.eng = eng
+        now = time.time()
+        pr, mr = cfg.map.path_rate_hz, cfg.map.map_rate_hz
+        self._path_period = 1.0 / pr if pr > 0 else None
+        self._map_period = 1.0 / mr if mr > 0 else None
+        self._next_path = now + (self._path_period or 0.0)
+        self._next_map = now + (self._map_period or 0.0)
+
+    def _atomic_write(self, name: str, writer):
+        tmp = os.path.join(self.dir, "." + name + ".tmp")
+        writer(tmp)
+        os.replace(tmp, os.path.join(self.dir, name))
+
+    def poll(self):
+        if self.eng.num_keyframes == 0:
+            return
+        now = time.time()
+        if self._path_period is not None and now >= self._next_path:
+            from navtech_radar_slam_tpu.data.mulran import save_trajectory_tum
+
+            traj = self.eng.trajectory()
+            self._atomic_write(
+                "live_path_tum.txt",
+                lambda p: save_trajectory_tum(p, self.eng.kf_times, traj),
+            )
+            self._next_path = now + self._path_period
+        if self._map_period is not None and now >= self._next_map:
+            import numpy as np
+
+            pts = self.eng.aggregate_map()
+            self._atomic_write(
+                "live_map.csv",
+                lambda p: np.savetxt(p, pts, delimiter=",", header="x,y",
+                                     comments=""),
+            )
+            self._next_map = now + self._map_period
 
 
 def make_config(args):
@@ -189,6 +244,8 @@ def main(argv=None) -> int:
         print("--chunk disabled: GPS association is per-scan", file=sys.stderr)
         chunk = 0
 
+    live = LiveOutputs(args.output_dir, cfg, eng) if args.live else None
+
     timers = profiling.StageTimers()
     t0 = time.time()
     processed = 0
@@ -208,6 +265,8 @@ def main(argv=None) -> int:
                         )
                     processed += len(buf)
                     buf = []
+                    if live is not None:
+                        live.poll()
                     if args.status_every and processed % (
                         args.status_every - args.status_every % chunk or chunk
                     ) == 0:
@@ -241,6 +300,8 @@ def main(argv=None) -> int:
             with timers.time("slam_step"):
                 eng.process(power, azimuths, timestamp=ts)
             processed += 1
+            if live is not None:
+                live.poll()
             if args.status_every and processed % args.status_every == 0:
                 pose = eng.current_pose()
                 print(
@@ -310,12 +371,14 @@ def _finalize(args, eng, processed, wall, timers) -> int:
         try:
             from navtech_radar_slam_tpu import eval as eval_mod
 
-            t_est, xy_est = eval_mod.load_tum(traj_path)
-            t_gt, xy_gt = eval_mod.load_gt(gt_path)
+            t_est, se2_est = eval_mod.load_tum_se2(traj_path)
+            t_gt, se2_gt = eval_mod.load_gt_se2(gt_path)
             ia, ib = eval_mod.associate(t_est, t_gt, 0.15)
             if len(ia) >= 3:
-                stats.ate_rmse = metrics.ate_rmse(xy_est[ia], xy_gt[ib])
-                stats.rte = metrics.rte(xy_est[ia], xy_gt[ib])
+                stats.ate_rmse = metrics.ate_rmse(
+                    se2_est[ia][:, :2], se2_gt[ib][:, :2]
+                )
+                stats.rte = metrics.rte(se2_est[ia], se2_gt[ib])
                 print(f"ground truth: ATE {stats.ate_rmse:.3f} m, "
                       f"RTE {stats.rte:.3f} m over {len(ia)} paired poses")
         except Exception as e:  # never fail the run on eval trouble

@@ -208,6 +208,51 @@ def test_cli_resume_chunked(tmp_path):
     assert abs(eng.num_keyframes - eng_ref.num_keyframes) <= 1
 
 
+def test_cli_live_outputs_follow_map_rates(tmp_path):
+    """MapConfig.path_rate_hz / map_rate_hz drive live snapshot emission —
+    the offline analogue of the reference's 5 Hz path / 0.1 Hz map
+    publishers (laserPosegraphOptimization.cpp:620-668).  High rates emit
+    both files mid-run; zero rates emit neither."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam import small_cfg
+    from navtech_radar_slam_tpu import cli
+
+    seq_dir, gt = write_sequence(tmp_path, n_scans=6)
+
+    cfg_hi = dataclasses.replace(
+        small_cfg(),
+        map=dataclasses.replace(small_cfg().map,
+                                path_rate_hz=1000.0, map_rate_hz=1000.0),
+    )
+    p_hi = tmp_path / "cfg_hi.json"
+    p_hi.write_text(cfg_hi.to_json())
+    out_hi = tmp_path / "out_live"
+    assert cli.main([
+        "--seq_dir", str(seq_dir), "--config", str(p_hi),
+        "--output_dir", str(out_hi), "--save_plot", "false",
+    ]) == 0
+    assert (out_hi / "live_path_tum.txt").exists()
+    assert (out_hi / "live_map.csv").exists()
+    live = np.loadtxt(out_hi / "live_path_tum.txt")
+    assert live.ndim == 2 and live.shape[1] == 8
+
+    cfg_off = dataclasses.replace(
+        small_cfg(),
+        map=dataclasses.replace(small_cfg().map,
+                                path_rate_hz=0.0, map_rate_hz=0.0),
+    )
+    p_off = tmp_path / "cfg_off.json"
+    p_off.write_text(cfg_off.to_json())
+    out_off = tmp_path / "out_nolive"
+    assert cli.main([
+        "--seq_dir", str(seq_dir), "--config", str(p_off),
+        "--output_dir", str(out_off), "--save_plot", "false",
+    ]) == 0
+    assert not (out_off / "live_path_tum.txt").exists()
+    assert not (out_off / "live_map.csv").exists()
+
+
 def test_cli_auto_eval_against_ground_truth(tmp_path):
     """When the sequence ships global_pose.csv, stats.json gains ATE/RTE."""
     from navtech_radar_slam_tpu import cli
