@@ -82,7 +82,7 @@ def empty_graph(cfg: PgoConfig, dtype=jnp.float32) -> GraphArrays:
 
 def _between_residual(Ti, Tj, meas):
     """r = log(meas^{-1} Ti^{-1} Tj) ∈ R^6 (gtsam BetweenFactor error)."""
-    return geo.se3_log(geo.se3_inv(meas) @ (geo.se3_inv(Ti) @ Tj))
+    return geo.se3_log(geo.se3_mul(geo.se3_inv(meas), geo.se3_between(Ti, Tj)))
 
 
 def _between_residual_masked(Ti, Tj, meas, valid):
@@ -93,14 +93,14 @@ def _between_residual_masked(Ti, Tj, meas, valid):
     arbitrary pose with the identity, landing the log on a pi-rotation
     where its backward pass is singular — and 0 * NaN = NaN would poison
     the whole gradient."""
-    rel = geo.se3_inv(meas) @ (geo.se3_inv(Ti) @ Tj)
+    rel = geo.se3_mul(geo.se3_inv(meas), geo.se3_between(Ti, Tj))
     rel = jnp.where(valid, rel, jnp.eye(4, dtype=rel.dtype))
     return geo.se3_log(rel)
 
 
 def _apply_delta(poses, delta):
     """Right-perturbation update: T <- T exp(delta)."""
-    return poses @ geo.se3_exp(delta)
+    return geo.se3_mul(poses, geo.se3_exp(delta))
 
 
 def _whiten_between(r, sigma_rot, sigma_trans):

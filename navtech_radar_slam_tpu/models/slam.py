@@ -189,7 +189,7 @@ def _make_kf_insert(cfg: SlamConfig):
         # initialize from the optimized previous pose composed with the
         # odometry increment; session starts / node 0 use the absolute pose
         prev_opt = g.poses[jnp.maximum(k - 1, 0)]
-        init = jnp.where(has_odom, prev_opt @ meas, pose_abs)
+        init = jnp.where(has_odom, geo.se3_mul(prev_opt, meas), pose_abs)
         g = g._replace(
             poses=g.poses.at[k].set(init),
             num_nodes=(k + 1).astype(jnp.int32),
@@ -230,7 +230,7 @@ def _make_kf_step(cfg: SlamConfig):
         meas = geo.se2_to_se3(geo.se2_between(prev_odo_se2, odo_pose_se2))
         pose_abs = geo.se2_to_se3(odo_pose_se2)
         prev_opt = g.poses[jnp.maximum(k - 1, 0)]
-        init = jnp.where(has_odom, prev_opt @ meas, pose_abs)
+        init = jnp.where(has_odom, geo.se3_mul(prev_opt, meas), pose_abs)
         g = g._replace(
             poses=g.poses.at[k].set(init),
             num_nodes=(k + 1).astype(jnp.int32),
@@ -767,11 +767,11 @@ class SlamEngine:
         initial alignment — a robust solve cannot pull a chain across a
         frame-sized gap on its own)."""
         poses = self.graph.g.poses
-        target = jnp.asarray(poses[prior_idx]) @ jnp.asarray(loop_meas)
-        T_align = target @ geo.se3_inv(jnp.asarray(poses[curr_idx]))
+        target = geo.se3_mul(jnp.asarray(poses[prior_idx]), jnp.asarray(loop_meas))
+        T_align = geo.se3_mul(target, geo.se3_inv(jnp.asarray(poses[curr_idx])))
         s = self.session_start
         n = self.num_keyframes
-        moved = jnp.einsum("ij,njk->nik", T_align, poses[s:n])
+        moved = geo.se3_mul(T_align, poses[s:n])
         self.graph.g = self.graph.g._replace(
             poses=poses.at[s:n].set(moved)
         )

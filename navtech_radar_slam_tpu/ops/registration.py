@@ -250,12 +250,16 @@ def anisotropic_refine(
             [jnp.broadcast_to(jnp.eye(2), (a.shape[0], 2, 2)), dRa[:, :, None]],
             axis=2,
         )                                                          # (M, 2, 3)
-        # Cauchy robust scaling on the Mahalanobis residual
-        r2 = jnp.einsum("mi,mij,mj->m", e, W, e)
+        # Cauchy robust scaling on the Mahalanobis residual.  HIGHEST
+        # precision: these einsums contract metric coordinates (|a| up to
+        # 80 m); the TPU's bf16 matmul default would bias the normal
+        # equations by ~0.4% — cm-scale odometry error per frame.
+        hi = jax.lax.Precision.HIGHEST
+        r2 = jnp.einsum("mi,mij,mj->m", e, W, e, precision=hi)
         rw = 1.0 / (1.0 + r2)
         Wr = W * rw[:, None, None]
-        H = jnp.einsum("mji,mjk,mkl->il", J, Wr, J) + 1e-6 * jnp.eye(3)
-        g = jnp.einsum("mji,mjk,mk->i", J, Wr, e)
+        H = jnp.einsum("mji,mjk,mkl->il", J, Wr, J, precision=hi) + 1e-6 * jnp.eye(3)
+        g = jnp.einsum("mji,mjk,mk->i", J, Wr, e, precision=hi)
         delta = _solve3x3(H, -g)
         return (theta + delta[2], t + delta[:2]), None
 

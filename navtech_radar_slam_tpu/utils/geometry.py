@@ -15,8 +15,26 @@ Small-angle branches use Taylor guards rather than data-dependent control flow.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax as _lax
 
 _EPS = 1e-8
+
+#: TPU matmul precision for POSE math.  The MXU's default f32 path rounds
+#: operands to bfloat16; at |t| ~ 100 m that injects ~0.1-0.5 m of error
+#: into a single 4x4 pose composition — fatal for the pose graph, whose
+#: odometry residuals are whitened by 1/sigma = 100-1000 (measured on a
+#: v5e: a 300-node odometry chain evaluated at its own exact solution
+#: carried 28k of pure bf16 noise cost, and warm-started GN random-walked
+#: to 5x the odometry ATE).  Pose matrices are tiny — full-f32 passes cost
+#: nothing — so every metric-coordinate matmul in this module pins
+#: HIGHEST; only large *normalized-score* matmuls (descriptor correlation,
+#: ScanContext search) keep the fast bf16 default.
+_HI = _lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    """Matmul at full f32 precision (pose-composition safe on TPU)."""
+    return jnp.matmul(a, b, precision=_HI)
 
 
 # ---------------------------------------------------------------------------
@@ -161,17 +179,20 @@ def so3_exp(w):
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2.clip(1e-16))
     W = so3_hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return I + a[..., None, None] * W + b[..., None, None] * (W @ W)
+    return I + a[..., None, None] * W + b[..., None, None] * _mm(W, W)
 
 
 def so3_log(R):
-    """Log map SO(3) -> R^3, robust near 0 and pi."""
+    """Log map SO(3) -> R^3, robust near 0 and pi.
+
+    theta comes from atan2(|vee(R - R^T)|/2, (trace-1)/2) rather than
+    arccos: arccos collapses to ~sqrt(eps) = 3e-4 rad of noise near the
+    identity in f32 (and its derivative blows up at the clip boundary),
+    while atan2 keeps full relative precision for the small rotations the
+    pose-graph residuals live on."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    # clip strictly inside (-1, 1): arccos' is infinite at the endpoints and
-    # the GN solver differentiates through this log (autodiff safety)
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos_t)
-    # vee of (R - R^T)/2
+    cos_t = (trace - 1.0) * 0.5
+    # vee of (R - R^T)/2;  |v| = sin(theta) for theta in [0, pi]
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -180,10 +201,13 @@ def so3_log(R):
         ],
         axis=-1,
     ) * 0.5
-    sin_t = jnp.sin(theta)
+    sin2 = jnp.sum(v * v, axis=-1)
+    # sqrt guard: keeps the backward pass finite at exactly theta = 0
+    sin_t = jnp.sqrt(sin2 + _EPS * _EPS)
+    theta = jnp.arctan2(sin_t, cos_t)
     small = theta < 1e-4
     near_pi = theta > jnp.pi - 1e-3
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(sin_t == 0, 1.0, sin_t))
+    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / sin_t)
     w_generic = v * scale[..., None]
     # near pi: use diagonal formulation  w = theta * axis,  axis from R+I columns
     B = (R + jnp.eye(3, dtype=R.dtype)) * 0.5  # = axis axis^T near pi (approx)
@@ -221,7 +245,7 @@ def _so3_left_jacobian(w):
     c = jnp.where(
         small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta).clip(1e-16)
     )
-    return I + b[..., None, None] * W + c[..., None, None] * (W @ W)
+    return I + b[..., None, None] * W + c[..., None, None] * _mm(W, W)
 
 
 def _so3_left_jacobian_inv(w):
@@ -235,7 +259,7 @@ def _so3_left_jacobian_inv(w):
     k = jnp.where(
         small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - half_theta * cot) / theta2.clip(1e-16)
     )
-    return I - 0.5 * W + k[..., None, None] * (W @ W)
+    return I - 0.5 * W + k[..., None, None] * _mm(W, W)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +284,7 @@ def se3_exp(xi):
     rho, phi = xi[..., :3], xi[..., 3:]
     R = so3_exp(phi)
     J = _so3_left_jacobian(phi)
-    t = jnp.einsum("...ij,...j->...i", J, rho)
+    t = jnp.einsum("...ij,...j->...i", J, rho, precision=_HI)
     return se3_from_rt(R, t)
 
 
@@ -269,7 +293,7 @@ def se3_log(T):
     t = T[..., :3, 3]
     phi = so3_log(R)
     Jinv = _so3_left_jacobian_inv(phi)
-    rho = jnp.einsum("...ij,...j->...i", Jinv, t)
+    rho = jnp.einsum("...ij,...j->...i", Jinv, t, precision=_HI)
     return jnp.concatenate([rho, phi], axis=-1)
 
 
@@ -277,23 +301,23 @@ def se3_inv(T):
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    return se3_from_rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return se3_from_rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_HI))
 
 
 def se3_mul(A, B):
-    return A @ B
+    return _mm(A, B)
 
 
 def se3_between(A, B):
     """gtsam Pose3::between — A^{-1} B (laserPosegraphOptimization.cpp:523)."""
-    return se3_inv(A) @ B
+    return _mm(se3_inv(A), B)
 
 
 def se3_apply(T, pts):
     """Transform points (..., N, 3) by SE(3) (..., 4, 4)."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", R, pts, precision=_HI) + t[..., None, :]
 
 
 # ---------------------------------------------------------------------------
