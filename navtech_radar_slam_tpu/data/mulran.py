@@ -35,7 +35,9 @@ ENCODER_SIZE = 5600  # Navtech azimuth encoder ticks per revolution
 class PolarScan:
     """One decoded radar scan (host-side, NumPy)."""
 
-    #: (num_azimuths, padded_range_bins) float32 power in [0, 1]
+    #: (num_azimuths, padded_range_bins) power: float32 in [0, 1], or raw
+    #: uint8 bytes when decoded with raw_u8=True (normalize-on-device path —
+    #: the jitted front-end casts /255 on chip; 4x less host->device traffic)
     power: np.ndarray
     #: (num_azimuths,) float64 per-ray UNIX timestamps (seconds)
     ray_timestamps: np.ndarray
@@ -60,11 +62,13 @@ def decode_polar_scan(
     img: np.ndarray,
     cfg: RadarConfig,
     timestamp: float = 0.0,
+    raw_u8: bool = False,
 ) -> PolarScan:
     """Decode a raw polar image (uint8, rows=azimuths) into a PolarScan.
 
     Tolerates images without the 11 metadata columns (e.g. synthetic scans):
     if the width is <= num_range_bins, the whole image is power data.
+    ``raw_u8=True`` keeps power as the raw bytes (see PolarScan.power).
     """
     img = np.asarray(img)
     na = cfg.num_azimuths
@@ -91,9 +95,13 @@ def decode_polar_scan(
         valid = np.ones((na,), bool)
 
     nb = cfg.num_range_bins
-    power = np.zeros((na, cfg.padded_range_bins), np.float32)
     w = min(nb, power_u8.shape[1])
-    power[:, :w] = power_u8[:, :w].astype(np.float32) / 255.0
+    if raw_u8:
+        power = np.zeros((na, cfg.padded_range_bins), np.uint8)
+        power[:, :w] = power_u8[:, :w]
+    else:
+        power = np.zeros((na, cfg.padded_range_bins), np.float32)
+        power[:, :w] = power_u8[:, :w].astype(np.float32) / 255.0
     return PolarScan(
         power=power,
         ray_timestamps=ray_ts,
@@ -115,8 +123,10 @@ class MulranRadarDataset:
 
     SCAN_SUBDIRS = ("polar_oxford_form", "sensor_data/radar/polar_oxford_form", "polar", "")
 
-    def __init__(self, seq_dir: str, cfg: Optional[RadarConfig] = None):
+    def __init__(self, seq_dir: str, cfg: Optional[RadarConfig] = None,
+                 raw_u8: bool = False):
         self.cfg = cfg or RadarConfig()
+        self.raw_u8 = raw_u8
         self.seq_dir = seq_dir
         self.scan_dir = self._find_scan_dir(seq_dir)
         self.scan_files = sorted(
@@ -143,7 +153,10 @@ class MulranRadarDataset:
 
     def __getitem__(self, idx: int) -> PolarScan:
         path = os.path.join(self.scan_dir, self.scan_files[idx])
-        return decode_polar_scan(_load_image(path), self.cfg, self.timestamp(idx))
+        return decode_polar_scan(
+            _load_image(path), self.cfg, self.timestamp(idx),
+            raw_u8=self.raw_u8,
+        )
 
     def __iter__(self) -> Iterator[PolarScan]:
         for i in range(len(self)):

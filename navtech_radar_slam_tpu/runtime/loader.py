@@ -74,6 +74,30 @@ def _load_library():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ]
+        # raw-uint8 variants (normalize-on-device path); absent in a stale
+        # prebuilt library -> loader falls back to float mode
+        try:
+            lib.radar_loader_create_u8.restype = ctypes.c_void_p
+            lib.radar_loader_create_u8.argtypes = (
+                lib.radar_loader_create.argtypes
+            )
+            lib.radar_loader_next_u8.restype = ctypes.c_int
+            lib.radar_loader_next_u8.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.radar_decode_png_u8.restype = ctypes.c_int
+            lib.radar_decode_png_u8.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib._has_u8 = True
+        except AttributeError:
+            lib._has_u8 = False
         _lib = lib
         return _lib
 
@@ -82,10 +106,10 @@ def native_available() -> bool:
     return _load_library() is not None
 
 
-def _alloc(cfg: RadarConfig):
+def _alloc(cfg: RadarConfig, raw_u8: bool = False):
     na, pb = cfg.num_azimuths, cfg.padded_range_bins
     return (
-        np.zeros((na, pb), np.float32),
+        np.zeros((na, pb), np.uint8 if raw_u8 else np.float32),
         np.zeros((na,), np.float64),
         np.zeros((na,), np.float32),
         np.zeros((na,), np.uint8),
@@ -114,18 +138,28 @@ def decode_png_native(
 
 
 class NativeRadarLoader:
-    """Sequential prefetching iterator over a list of scan PNGs."""
+    """Sequential prefetching iterator over a list of scan PNGs.
+
+    ``raw_u8=True`` yields power as the raw PNG bytes (uint8, padded) for
+    the normalize-on-device path: the jitted front-end casts /255 on chip,
+    so host->device traffic drops 4x vs float32 — the binding that matters
+    when the device is remote/tunneled.  Every jitted consumer
+    (extract_scan_features and everything above it) accepts either dtype."""
 
     def __init__(self, paths: List[str], cfg: Optional[RadarConfig] = None,
-                 num_workers: int = 2, queue_capacity: int = 8):
+                 num_workers: int = 2, queue_capacity: int = 8,
+                 raw_u8: bool = False):
         self.cfg = cfg or RadarConfig()
         lib = _load_library()
         if lib is None:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
+        self.raw_u8 = bool(raw_u8) and getattr(lib, "_has_u8", False)
         self._paths = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
-        self._handle = lib.radar_loader_create(
+        create = lib.radar_loader_create_u8 if self.raw_u8 else \
+            lib.radar_loader_create
+        self._handle = create(
             arr, len(self._paths), self.cfg.num_azimuths,
             self.cfg.num_range_bins, self.cfg.padded_range_bins,
             self.cfg.meta_columns, num_workers, queue_capacity,
@@ -144,16 +178,26 @@ class NativeRadarLoader:
     def __next__(self):
         if self._consumed >= self._n or self._handle is None:
             raise StopIteration
-        power, ts, az, valid = _alloc(self.cfg)
+        power, ts, az, valid = _alloc(self.cfg, self.raw_u8)
         idx = ctypes.c_int64(-1)
-        rc = self._lib.radar_loader_next(
-            self._handle,
-            power.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            az.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.byref(idx),
-        )
+        if self.raw_u8:
+            rc = self._lib.radar_loader_next_u8(
+                self._handle,
+                power.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                az.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.byref(idx),
+            )
+        else:
+            rc = self._lib.radar_loader_next(
+                self._handle,
+                power.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                az.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.byref(idx),
+            )
         if rc != 0:
             raise StopIteration
         self._consumed += 1

@@ -39,12 +39,17 @@ struct LoaderConfig {
   int meta_columns;
   int num_workers;
   int queue_capacity;
+  // raw_u8: emit power as the raw PNG bytes (normalize-on-device path —
+  // the consumer ships uint8 to the accelerator and divides by 255 there,
+  // cutting host->device traffic 4x vs float32)
+  bool raw_u8 = false;
 };
 
 struct DecodedScan {
   int64_t index = -1;
   bool ok = false;
-  std::vector<float> power;        // num_azimuths * padded_range_bins
+  std::vector<float> power;        // num_azimuths * padded_range_bins (float mode)
+  std::vector<uint8_t> power_u8;   // same shape (raw_u8 mode)
   std::vector<double> timestamps;  // num_azimuths
   std::vector<float> azimuths;     // num_azimuths
   std::vector<uint8_t> valid;      // num_azimuths
@@ -108,7 +113,10 @@ void DecodeScan(const PngImage& img, const LoaderConfig& cfg, DecodedScan* out) 
   const int na = cfg.num_azimuths;
   const int nb = cfg.num_range_bins;
   const int pb = cfg.padded_range_bins;
-  out->power.assign(static_cast<size_t>(na) * pb, 0.0f);
+  if (cfg.raw_u8)
+    out->power_u8.assign(static_cast<size_t>(na) * pb, 0);
+  else
+    out->power.assign(static_cast<size_t>(na) * pb, 0.0f);
   out->timestamps.assign(na, 0.0);
   out->azimuths.assign(na, 0.0f);
   out->valid.assign(na, 1);
@@ -133,9 +141,13 @@ void DecodeScan(const PngImage& img, const LoaderConfig& cfg, DecodedScan* out) 
     } else {
       out->azimuths[a] = (a + 0.5f) / na * 6.283185307179586f;
     }
-    float* dst = out->power.data() + static_cast<size_t>(a) * pb;
     const uint8_t* src = row + data_off;
-    for (int r = 0; r < w; ++r) dst[r] = src[r] * (1.0f / 255.0f);
+    if (cfg.raw_u8) {
+      std::memcpy(out->power_u8.data() + static_cast<size_t>(a) * pb, src, w);
+    } else {
+      float* dst = out->power.data() + static_cast<size_t>(a) * pb;
+      for (int r = 0; r < w; ++r) dst[r] = src[r] * (1.0f / 255.0f);
+    }
   }
   out->ok = true;
 }
@@ -161,7 +173,8 @@ class Prefetcher {
 
   // Blocks until scan `index` (strictly increasing consumption) is ready and
   // copies it into caller buffers. Returns 0 on success, -1 on failure/EOF.
-  int Next(float* power, double* timestamps, float* azimuths, uint8_t* valid,
+  // `power` is float* in float mode, uint8_t* in raw_u8 mode.
+  int Next(void* power, double* timestamps, float* azimuths, uint8_t* valid,
            int64_t* index_out) {
     std::unique_lock<std::mutex> lk(mu_);
     if (next_consume_ >= static_cast<int64_t>(paths_.size())) return -1;
@@ -176,7 +189,10 @@ class Prefetcher {
     cv_space_.notify_all();
 
     if (!scan.ok) return -1;
-    std::memcpy(power, scan.power.data(), scan.power.size() * sizeof(float));
+    if (cfg_.raw_u8)
+      std::memcpy(power, scan.power_u8.data(), scan.power_u8.size());
+    else
+      std::memcpy(power, scan.power.data(), scan.power.size() * sizeof(float));
     std::memcpy(timestamps, scan.timestamps.data(),
                 scan.timestamps.size() * sizeof(double));
     std::memcpy(azimuths, scan.azimuths.data(),
@@ -234,7 +250,21 @@ void* radar_loader_create(const char** paths, int num_paths, int num_azimuths,
                           int meta_columns, int num_workers,
                           int queue_capacity) {
   LoaderConfig cfg{num_azimuths, num_range_bins, padded_range_bins,
-                   meta_columns, num_workers, queue_capacity};
+                   meta_columns, num_workers, queue_capacity, false};
+  std::vector<std::string> p;
+  p.reserve(num_paths);
+  for (int i = 0; i < num_paths; ++i) p.emplace_back(paths[i]);
+  return new Prefetcher(std::move(p), cfg);
+}
+
+// raw_u8 variant: power buffers are the raw PNG bytes (uint8), normalized
+// on the accelerator by the consumer.
+void* radar_loader_create_u8(const char** paths, int num_paths,
+                             int num_azimuths, int num_range_bins,
+                             int padded_range_bins, int meta_columns,
+                             int num_workers, int queue_capacity) {
+  LoaderConfig cfg{num_azimuths, num_range_bins, padded_range_bins,
+                   meta_columns, num_workers, queue_capacity, true};
   std::vector<std::string> p;
   p.reserve(num_paths);
   for (int i = 0; i < num_paths; ++i) p.emplace_back(paths[i]);
@@ -243,6 +273,12 @@ void* radar_loader_create(const char** paths, int num_paths, int num_azimuths,
 
 int radar_loader_next(void* handle, float* power, double* timestamps,
                       float* azimuths, uint8_t* valid, int64_t* index_out) {
+  return static_cast<Prefetcher*>(handle)->Next(power, timestamps, azimuths,
+                                                valid, index_out);
+}
+
+int radar_loader_next_u8(void* handle, uint8_t* power, double* timestamps,
+                         float* azimuths, uint8_t* valid, int64_t* index_out) {
   return static_cast<Prefetcher*>(handle)->Next(power, timestamps, azimuths,
                                                 valid, index_out);
 }
@@ -256,13 +292,33 @@ int radar_decode_png(const char* path, int num_azimuths, int num_range_bins,
                      int padded_range_bins, int meta_columns, float* power,
                      double* timestamps, float* azimuths, uint8_t* valid) {
   LoaderConfig cfg{num_azimuths, num_range_bins, padded_range_bins,
-                   meta_columns, 0, 0};
+                   meta_columns, 0, 0, false};
   PngImage img;
   if (!ReadGrayPng(path, &img)) return -1;
   if (img.height < num_azimuths) return -2;
   DecodedScan scan;
   DecodeScan(img, cfg, &scan);
   std::memcpy(power, scan.power.data(), scan.power.size() * sizeof(float));
+  std::memcpy(timestamps, scan.timestamps.data(),
+              scan.timestamps.size() * sizeof(double));
+  std::memcpy(azimuths, scan.azimuths.data(),
+              scan.azimuths.size() * sizeof(float));
+  std::memcpy(valid, scan.valid.data(), scan.valid.size());
+  return 0;
+}
+
+int radar_decode_png_u8(const char* path, int num_azimuths, int num_range_bins,
+                        int padded_range_bins, int meta_columns,
+                        uint8_t* power, double* timestamps, float* azimuths,
+                        uint8_t* valid) {
+  LoaderConfig cfg{num_azimuths, num_range_bins, padded_range_bins,
+                   meta_columns, 0, 0, true};
+  PngImage img;
+  if (!ReadGrayPng(path, &img)) return -1;
+  if (img.height < num_azimuths) return -2;
+  DecodedScan scan;
+  DecodeScan(img, cfg, &scan);
+  std::memcpy(power, scan.power_u8.data(), scan.power_u8.size());
   std::memcpy(timestamps, scan.timestamps.data(),
               scan.timestamps.size() * sizeof(double));
   std::memcpy(azimuths, scan.azimuths.data(),

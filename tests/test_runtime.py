@@ -94,3 +94,49 @@ def test_native_decode_corrupt_file(tmp_path):
     q.write_bytes(b"garbage bytes, not an image")
     with pytest.raises(IOError):
         decode_png_native(str(q), CFG)
+
+
+def test_raw_u8_loader_parity(tmp_path, rng):
+    """raw_u8 mode (normalize-on-device ingestion): native u8 loader, native
+    float loader, and the NumPy u8 decoder must agree bit-exactly."""
+    p = str(tmp_path / "1600000000000000.png")
+    raw_power = write_mulran_png(p, rng)
+
+    ld = NativeRadarLoader([p], CFG, raw_u8=True)
+    pu, ts, az, valid = next(ld)
+    assert pu.dtype == np.uint8
+    np.testing.assert_array_equal(pu[:, : CFG.num_range_bins], raw_power)
+
+    pf, tsf, azf, _ = decode_png_native(p, CFG)
+    np.testing.assert_allclose(pu.astype(np.float32) / 255.0, pf, atol=1e-7)
+    np.testing.assert_allclose(ts, tsf)
+    np.testing.assert_allclose(az, azf)
+
+    import cv2
+
+    img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    ref = decode_polar_scan(img, CFG, 0.0, raw_u8=True)
+    assert ref.power.dtype == np.uint8
+    np.testing.assert_array_equal(pu, ref.power)
+
+
+def test_uint8_feature_extraction_parity(tmp_path, rng):
+    """The jitted front-end must produce identical features for raw uint8
+    scans (cast /255 on device) and pre-normalized float32 scans."""
+    import jax.numpy as jnp
+
+    from navtech_radar_slam_tpu.config import SlamConfig
+    from navtech_radar_slam_tpu.models.odometry import extract_scan_features
+
+    p = str(tmp_path / "1600000000000000.png")
+    write_mulran_png(p, rng)
+    pu, _, az, _ = next(NativeRadarLoader([p], CFG, raw_u8=True))
+    pf, _, _, _ = decode_png_native(p, CFG)
+
+    cfg = SlamConfig()
+    f_u8 = extract_scan_features(jnp.asarray(pu), jnp.asarray(az), cfg)
+    f_f32 = extract_scan_features(jnp.asarray(pf), jnp.asarray(az), cfg)
+    np.testing.assert_array_equal(np.asarray(f_u8.valid), np.asarray(f_f32.valid))
+    np.testing.assert_allclose(
+        np.asarray(f_u8.xy), np.asarray(f_f32.xy), atol=1e-6
+    )
