@@ -1,20 +1,29 @@
 #!/usr/bin/env python
-"""Benchmarks on one chip, printed as one JSON line per metric:
+"""Benchmarks on one chip, printed as one JSON line per metric.
 
-  1. radar_odometry_fps_single_stream_1chip — the per-scan front-end
-     (cen2019 + constellation matching + ORORA-style registration) fed
-     sequentially with a carry dependency, deployment-shaped.
-  2. radar_odometry_fps_batched_aggregate_1chip — B=64 independent streams
-     in one program: the chip-throughput shape for fleet/reprocessing.
-  3. slam_full_scans_per_sec_1chip — BASELINE config 3: the ENTIRE SLAM
+Sections, in PRIORITY order (the headline metric runs FIRST so a cold
+compile cache can never starve it of wall-clock — round-2 lesson):
+
+  1. slam_full_scans_per_sec_1chip — BASELINE config 3: the ENTIRE SLAM
      engine (odometry + keyframing + ScanContext search + submap ICP +
      per-keyframe PGO refine + loop commits) streamed through
-     SlamEngine.process_chunk on a multi-lap circuit.  Printed LAST =
-     the headline metric.
+     SlamEngine.process_chunk on a multi-lap circuit.  THE headline.
+  2. radar_odometry_fps_single_stream_1chip — the per-scan front-end
+     (cen2019 + constellation matching + ORORA-style registration) fed
+     sequentially with a carry dependency, deployment-shaped (best of
+     per-dispatch and device-side lax.scan streaming).
+  3. radar_odometry_fps_batched_aggregate_1chip — B=64 independent streams
+     in one program: the chip-throughput shape for fleet/reprocessing.
 
 Baseline: the Navtech CIR204-H scan rate (4 Hz) — the real-time envelope the
 reference pipeline is built around (SURVEY §6; the reference publishes no
 throughput numbers, BASELINE.md).  vs_baseline = value / 4.0 for every line.
+
+Compile-cache discipline: every jitted program's first-call wall time is
+logged; under ~30 s means the persistent cache at /root/.jax_cache was hit
+(cold compiles of the big programs run 2-10 minutes on the tunneled
+backend).  The cache key covers the exact HLO, so this file and the package
+must not change between the warming run and the measured run.
 
 Timing discipline: device work is fenced ONLY by jax.device_get of an output
 leaf (block_until_ready returns early on the tunneled axon backend).
@@ -30,8 +39,8 @@ import jax
 # Wall-clock budget: always print the JSON lines before a driver-side
 # timeout can hit.  First-ever TPU compiles over the tunneled device are
 # slow (minutes, high variance); once the persistent compile cache is warm
-# they are seconds.  Sections are skipped (cheapest first) when the budget
-# would be blown.
+# they are seconds.  The headline section runs first; the cheaper odometry
+# sections are skipped if the budget is nearly gone.
 _BUDGET_S = float(os.environ.get("NRS_BENCH_BUDGET_S", "480"))
 _T_START = time.time()
 
@@ -79,7 +88,7 @@ def emit(metric: str, value: float, unit: str):
 def _on_term(signum, frame):  # driver timeout insurance: report best-so-far
     log(f"signal {signum}: exiting after {len(_EMITTED)} emitted metrics")
     if not _EMITTED:
-        emit("radar_odometry_fps_single_stream_1chip", 0.0, "frames/s")
+        emit("slam_full_scans_per_sec_1chip", 0.0, "scans/s")
     os._exit(0)
 
 
@@ -87,6 +96,53 @@ import signal  # noqa: E402
 
 signal.signal(signal.SIGTERM, _on_term)
 signal.signal(signal.SIGINT, _on_term)
+
+
+def _log_compile(name: str, dt: float):
+    kind = "cache HIT" if dt < 30.0 else "cold compile"
+    log(f"{name}: first call {dt:.1f}s ({kind})")
+
+
+def bench_full_slam(cfg, sim):
+    """BASELINE config 3: the whole engine, streamed in chunks — FIRST.
+
+    Multi-lap circuit (keyframe gate passes every scan at this speed), so
+    the measured window carries the full steady-state keyframe cost:
+    descriptor + bank insert + ScanContext all-shift search + submap ICP
+    verification + deferred loop commits + per-drain PGO refines."""
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+
+    n_scans, chunk = 128, 16
+    gt = sim.circuit_trajectory(n_scans, radius=10.0, speed=6.0)
+    log("rendering SLAM circuit...")
+    t0 = time.time()
+    scans = np.stack([sim.render(gt[i], noise_seed=i) for i in range(n_scans)])
+    log(f"rendered {n_scans} scans in {time.time() - t0:.1f}s")
+
+    eng = SlamEngine(cfg)
+    # warm-up/compile: first two chunks compile odometry-seq + kf_step +
+    # first refine buckets
+    t0 = time.time()
+    eng.process_chunk(scans[0:chunk])
+    eng.current_pose()
+    _log_compile("slam chunk 1", time.time() - t0)
+    t0 = time.time()
+    eng.process_chunk(scans[chunk:2 * chunk])
+    eng.current_pose()
+    log(f"slam chunk 2: {time.time() - t0:.1f}s")
+
+    measured = 0
+    t0 = time.time()
+    for c0 in range(2 * chunk, n_scans, chunk):
+        eng.process_chunk(scans[c0:c0 + chunk])
+        measured += chunk
+    eng.current_pose()   # drains the deferred queue + fences the device
+    dt = time.time() - t0
+    sps = measured / dt
+    log(f"full SLAM: {sps:.2f} scans/s over {measured} scans "
+        f"({eng.num_keyframes} kf, {len(eng.loops)} loops, "
+        f"{1e3 * dt / measured:.1f} ms/scan)")
+    emit("slam_full_scans_per_sec_1chip", sps, "scans/s")
 
 
 def bench_odometry(cfg, sim, scans, azimuths):
@@ -101,7 +157,7 @@ def bench_odometry(cfg, sim, scans, azimuths):
     carry = extract(scans[0], azimuths)
     carry, res, _ = step(scans[1], azimuths, carry, twist)
     _sync(res.rel_pose)
-    log(f"compile+first step: {time.time() - t0:.1f}s on {jax.devices()[0]}")
+    _log_compile(f"odometry step on {jax.devices()[0]}", time.time() - t0)
 
     for i in range(2, 5):
         carry, res, _ = step(scans[i % len(scans)], azimuths, carry, twist)
@@ -126,7 +182,7 @@ def bench_odometry(cfg, sim, scans, azimuths):
             t0 = time.time()
             out = seq(powers, azimuths, carry, jnp.zeros(3, jnp.float32), coast)
             _sync(out[3])
-            log(f"sequence compile: {time.time() - t0:.1f}s")
+            _log_compile("odometry sequence", time.time() - t0)
             carry_s, tw, coast = out[0], out[1], out[2]
             for _ in range(2):
                 carry_s, tw, coast, rels, oks, _ = seq(
@@ -159,7 +215,7 @@ def bench_odometry(cfg, sim, scans, azimuths):
             t0 = time.time()
             bcarry, bres, _ = bstep(bscans, azimuths, bcarry, btwist)
             _sync(bres.rel_pose)
-            log(f"batched compile: {time.time() - t0:.1f}s")
+            _log_compile("batched step", time.time() - t0)
             for _ in range(3):
                 bcarry, bres, _ = bstep(bscans, azimuths, bcarry, bres.rel_pose)
             _sync(bres.rel_pose)
@@ -175,67 +231,37 @@ def bench_odometry(cfg, sim, scans, azimuths):
             log(f"batched section failed ({type(e).__name__}: {e})")
 
 
-def bench_full_slam(cfg, sim):
-    """BASELINE config 3: the whole engine, streamed in chunks.
-
-    Multi-lap circuit (keyframe gate passes every scan at this speed), so
-    the measured window carries the full steady-state keyframe cost:
-    descriptor + bank insert + ScanContext all-shift search + submap ICP
-    verification + deferred loop commits + per-drain PGO refines."""
-    from navtech_radar_slam_tpu.models.slam import SlamEngine
-
-    n_scans, chunk = 128, 16
-    gt = sim.circuit_trajectory(n_scans, radius=10.0, speed=6.0)
-    log("rendering SLAM circuit...")
-    scans = np.stack([sim.render(gt[i], noise_seed=i) for i in range(n_scans)])
-
-    eng = SlamEngine(cfg)
-    # warm-up/compile: first two chunks compile odometry-seq + kf_step +
-    # first refine buckets
-    t0 = time.time()
-    eng.process_chunk(scans[0:chunk])
-    eng.current_pose()
-    log(f"slam chunk 1 (compile): {time.time() - t0:.1f}s")
-    t0 = time.time()
-    eng.process_chunk(scans[chunk:2 * chunk])
-    eng.current_pose()
-    log(f"slam chunk 2: {time.time() - t0:.1f}s")
-
-    measured = 0
-    t0 = time.time()
-    for c0 in range(2 * chunk, n_scans, chunk):
-        eng.process_chunk(scans[c0:c0 + chunk])
-        measured += chunk
-    eng.current_pose()   # drains the deferred queue + fences the device
-    dt = time.time() - t0
-    sps = measured / dt
-    log(f"full SLAM: {sps:.2f} scans/s over {measured} scans "
-        f"({eng.num_keyframes} kf, {len(eng.loops)} loops, "
-        f"{1e3 * dt / measured:.1f} ms/scan)")
-    emit("slam_full_scans_per_sec_1chip", sps, "scans/s")
-
-
 def main():
     from navtech_radar_slam_tpu.config import SlamConfig
     from navtech_radar_slam_tpu.data import RadarSimulator
 
     cfg = SlamConfig()
     sim = RadarSimulator(cfg.radar)
-    gt = sim.circuit_trajectory(12, radius=60.0, speed=3.0)
-    log("rendering scans...")
-    scans = [jnp.asarray(sim.render(gt[i], noise_seed=i)) for i in range(len(gt))]
-    na = cfg.radar.num_azimuths
-    azimuths = jnp.asarray((np.arange(na) + 0.5) / na * 2 * np.pi, jnp.float32)
 
-    bench_odometry(cfg, sim, scans, azimuths)
+    # headline FIRST: the full-SLAM number must exist even if everything
+    # after it runs out of budget
+    try:
+        bench_full_slam(cfg, sim)
+    except Exception as e:
+        log(f"full-SLAM section failed ({type(e).__name__}: {e})")
+        emit("slam_full_scans_per_sec_1chip", 0.0, "scans/s")
 
-    if _remaining() > 180.0:
-        try:
-            bench_full_slam(cfg, sim)
-        except Exception as e:
-            log(f"full-SLAM section failed ({type(e).__name__}: {e})")
+    if _remaining() > 90.0:
+        gt = sim.circuit_trajectory(12, radius=60.0, speed=3.0)
+        log("rendering scans...")
+        scans = [jnp.asarray(sim.render(gt[i], noise_seed=i))
+                 for i in range(len(gt))]
+        na = cfg.radar.num_azimuths
+        azimuths = jnp.asarray(
+            (np.arange(na) + 0.5) / na * 2 * np.pi, jnp.float32
+        )
+        bench_odometry(cfg, sim, scans, azimuths)
     else:
-        log("skipping full-SLAM section (wall-clock budget)")
+        log("skipping odometry sections (wall-clock budget)")
+
+    log("emitted: " + ", ".join(
+        f"{m['metric']}={m['value']}{m['unit']}" for m in _EMITTED
+    ))
 
 
 if __name__ == "__main__":

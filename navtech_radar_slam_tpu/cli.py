@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream N scans per device dispatch (device-side "
                         "lax.scan odometry; 0 = per-scan). Incompatible "
                         "with --use_gps (per-scan association).")
+    p.add_argument("--loop_debug_dir", default=None,
+                   help="dump loop_<k>_<accepted|rejected>.npz per loop "
+                        "verification (query cloud + submap + decision "
+                        "scalars — the reference's /loop_scan_local + "
+                        "/loop_submap_local rviz streams)")
     p.add_argument("--live", type=_bool, default=True,
                    help="emit live_path_tum.txt / live_map.csv snapshots at "
                         "MapConfig.path_rate_hz / map_rate_hz (wall clock) "
@@ -224,6 +229,10 @@ def main(argv=None) -> int:
         eng = SlamEngine(cfg, mesh=mesh)
         start_scan = 0
 
+    if args.loop_debug_dir:
+        os.makedirs(args.loop_debug_dir, exist_ok=True)
+        eng.loop_debug_dir = args.loop_debug_dir
+
     stream, total, loader_kind = scan_stream(args, cfg)
     print(f"sequence: {args.seq_dir} ({total} scans, {loader_kind} loader, "
           f"do_slam={cfg.do_slam})")
@@ -236,11 +245,23 @@ def main(argv=None) -> int:
     if cfg.pgo.use_gps:
         gps_path = os.path.join(args.seq_dir, "gps.csv")
         if os.path.exists(gps_path):
-            import numpy as _np
+            from navtech_radar_slam_tpu.data.mulran import load_gps_csv
 
-            raw = _np.loadtxt(gps_path, delimiter=",")
-            gps = (raw[:, 0] * 1e-9, raw[:, 3] if raw.shape[1] > 3 else raw[:, 1])
-            print(f"gps: {len(raw)} fixes from {gps_path}")
+            try:
+                times, alts, skipped = load_gps_csv(gps_path)
+            except OSError as e:
+                print(f"gps.csv unreadable ({e}); continuing without",
+                      file=sys.stderr)
+                times, alts, skipped = np.zeros(0), np.zeros(0), 0
+            if skipped:
+                print(f"gps: skipped {skipped} malformed line(s) in "
+                      f"{gps_path}", file=sys.stderr)
+            if len(times):
+                gps = (times, alts)
+                print(f"gps: {len(times)} fixes from {gps_path}")
+            else:
+                print(f"gps.csv held no usable fixes; continuing without",
+                      file=sys.stderr)
         else:
             print(f"gps requested but {gps_path} missing; continuing without")
 

@@ -175,6 +175,45 @@ def load_global_pose_csv(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return ts, poses
 
 
+def load_gps_csv(path: str) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Tolerant MulRan gps.csv reader: stamp_ns, lat, lon, alt[, cov...].
+
+    The reference consumes /gps/fix and uses altitude only
+    (laserPosegraphOptimization.cpp:439-451, 526-533).  Real gps.csv files
+    in the wild carry header lines, truncated rows, and occasionally no
+    altitude column; one bad line must degrade to a skipped fix, not kill
+    the run at startup.  Returns (times_sec, altitudes, num_skipped);
+    rows shorter than 4 columns fall back to column 1 for altitude
+    (a 2-column stamp,alt layout) and rows with no parseable stamp or
+    altitude are skipped."""
+    times, alts = [], []
+    skipped = 0
+    with open(path) as f:
+        for line in f:
+            parts = [p.strip() for p in line.strip().split(",")]
+            if not parts or not parts[0] or parts[0].startswith("#"):
+                continue
+            try:
+                t = float(parts[0])
+            except ValueError:
+                skipped += 1          # header or garbage line
+                continue
+            alt = None
+            for col in (3, 1):        # MulRan alt column, then 2-col layout
+                if len(parts) > col:
+                    try:
+                        alt = float(parts[col])
+                        break
+                    except ValueError:
+                        pass
+            if alt is None or not np.isfinite(alt) or not np.isfinite(t):
+                skipped += 1
+                continue
+            times.append(t * 1e-9)
+            alts.append(alt)
+    return np.asarray(times), np.asarray(alts), skipped
+
+
 def save_trajectory_tum(path: str, timestamps: Sequence[float], poses: np.ndarray) -> None:
     """Write TUM-format trajectory (t x y z qx qy qz qw) — the map/trajectory
     export the reference lists as an unmet TODO (README.md:136-142)."""

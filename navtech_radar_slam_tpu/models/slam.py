@@ -309,7 +309,7 @@ class SlamEngine:
         if mesh is not None and mesh.size > 1:
             from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
             from navtech_radar_slam_tpu.parallel.dist_pgo import (
-                make_distributed_solver,
+                make_bucketed_distributed_solver,
             )
             from navtech_radar_slam_tpu.parallel.sharded_bank import (
                 make_sharded_loop_detector,
@@ -321,12 +321,10 @@ class SlamEngine:
             self._sharded_detect = make_sharded_loop_detector(
                 mesh, c.scancontext
             )
-            dist_fast = make_distributed_solver(mesh, fast_cfg)
-            dist_full = make_distributed_solver(mesh, c.pgo)
-            # the sharded arrays must keep their full (mesh-divisible) shape,
-            # so the distributed path does not bucket; counts are ignored
-            self._solve_fast = lambda g, n, l: g._replace(poses=dist_fast(g))
-            self._solve_full = lambda g, n, l: g._replace(poses=dist_full(g))
+            # bucketed like the single-device path: per-keyframe refines run
+            # on the active power-of-two prefix, not the full padded capacity
+            self._solve_fast = make_bucketed_distributed_solver(mesh, fast_cfg)
+            self._solve_full = make_bucketed_distributed_solver(mesh, c.pgo)
             self.graph.g = self._shard_graph_factors(self.graph.g)
             self.bank = jax.device_put(self.bank, self._bank_sharding)
         else:
@@ -362,6 +360,13 @@ class SlamEngine:
         self.num_scans = 0
         self._kf_pending_since_loop = 0
         self._pending_gps: Optional[np.ndarray] = None
+        #: when set, every fetched loop *decision* (accepted or rejected)
+        #: dumps an inspectable loop_<curr>_<verdict>.npz — the reference
+        #: publishes the ICP query scan + submap clouds per attempt for rviz
+        #: (/loop_scan_local, /loop_submap_local,
+        #: laserPosegraphOptimization.cpp:365-373); see _dump_loop_debug
+        self.loop_debug_dir: Optional[str] = None
+        self._debug_submap = self._make_debug_submap()
         #: deferred loop decisions: (k, cand, res) device handles per
         #: detection keyframe, fetched+committed once the queue reaches
         #: cfg.pgo.loop_commit_defer or an output consumer drains it (see
@@ -601,7 +606,7 @@ class SlamEngine:
             self._solve_full = pg.make_bucketed_solver(c.pgo)
         else:
             from navtech_radar_slam_tpu.parallel.dist_pgo import (
-                make_distributed_solver,
+                make_bucketed_distributed_solver,
             )
 
             # re-apply the bank sharding the rebuilt arrays lost: without
@@ -610,12 +615,15 @@ class SlamEngine:
             # contradicting the engine's sharded-shape contract above)
             self.bank = jax.device_put(self.bank, self._bank_sharding)
             self.graph.g = self._shard_graph_factors(self.graph.g)
-            dist_fast = make_distributed_solver(self.mesh, fast_cfg)
-            dist_full = make_distributed_solver(self.mesh, c.pgo)
-            self._solve_fast = lambda g, n, l: g._replace(poses=dist_fast(g))
-            self._solve_full = lambda g, n, l: g._replace(poses=dist_full(g))
+            self._solve_fast = make_bucketed_distributed_solver(
+                self.mesh, fast_cfg
+            )
+            self._solve_full = make_bucketed_distributed_solver(
+                self.mesh, c.pgo
+            )
         self._verify_pipeline = _make_verify_pipeline(c)
         self._kf_step = _make_kf_step(c)
+        self._debug_submap = self._make_debug_submap()
 
     def _add_keyframe(self, odo_pose: np.ndarray, xy: jnp.ndarray,
                       valid: jnp.ndarray, timestamp: float):
@@ -717,6 +725,53 @@ class SlamEngine:
         self._cur_pose_dev = pose_dev
         self._cur_pose = None
 
+    def _make_debug_submap(self):
+        """Jitted submap re-render for loop debug artifacts (rebuilt on
+        capacity growth alongside the other shape-dependent pipelines)."""
+        c = self.cfg
+
+        def fn(clouds, clouds_valid, poses_se3, center, num_kf):
+            return _build_submap(
+                clouds, clouds_valid, geo.se3_to_se2(poses_se3), center,
+                num_kf, c.icp.submap_half_size, c.icp.max_target_points,
+                c.icp.submap_voxel_size,
+            )
+
+        return jax.jit(fn)
+
+    def _dump_loop_debug(self, k: int, prev_idx: int, accepted: bool,
+                         sc_dist: float, sc_yaw: float, fitness: float,
+                         rel2: np.ndarray):
+        """Write loop_<k>_<verdict>.npz with the ICP query cloud, the ±half
+        submap, and the decision scalars — the offline analogue of the
+        reference's /loop_scan_local + /loop_submap_local publishers
+        (laserPosegraphOptimization.cpp:365-373).
+
+        The submap is re-rendered from the CURRENT optimized poses (the
+        decision may have been fetched a few keyframes after verification,
+        so poses can differ slightly from the verify-time render — same
+        spirit as the reference, which also renders from the updated poses
+        of the moment)."""
+        import os
+
+        sub_xy, sub_valid = self._debug_submap(
+            self.clouds, self.clouds_valid, self.graph.g.poses,
+            jnp.asarray(prev_idx, jnp.int32),
+            jnp.asarray(self.num_keyframes, jnp.int32),
+        )
+        q_xy, q_valid, sub_xy, sub_valid = jax.device_get(
+            (self.clouds[k], self.clouds_valid[k], sub_xy, sub_valid)
+        )
+        verdict = "accepted" if accepted else "rejected"
+        path = os.path.join(self.loop_debug_dir, f"loop_{k:05d}_{verdict}.npz")
+        np.savez(
+            path,
+            prev_idx=prev_idx, curr_idx=k, accepted=accepted,
+            sc_dist=sc_dist, sc_yaw_init=sc_yaw, icp_fitness=fitness,
+            rel_pose=np.asarray(rel2),
+            query_xy=q_xy[q_valid], submap_xy=sub_xy[sub_valid],
+        )
+
     def _flush_pending_loop(self):
         """Drain the deferred decision queue IN ORDER: one batched fetch for
         every queued keyframe's decision scalars, then add every accepted
@@ -735,14 +790,21 @@ class SlamEngine:
         # ONE host<->device round trip for the whole queue
         fetched = jax.device_get([
             (cand.found, res.accepted, cand.idx, cand.dist, res.fitness,
-             res.rel_pose)
+             res.rel_pose, cand.yaw)
             for _, cand, res in pending
         ])
         solved = False
-        for (k, _, _), (found, accepted, idx, dist, fitness, rel2) in zip(
+        for (k, _, _), (found, accepted, idx, dist, fitness, rel2, yaw) in zip(
             pending, fetched
         ):
-            if bool(found) and bool(accepted):
+            if bool(found):
+                if self.loop_debug_dir is not None:
+                    self._dump_loop_debug(
+                        k, int(idx), bool(accepted), float(dist), float(yaw),
+                        float(fitness), np.asarray(rel2, np.float64),
+                    )
+                if not bool(accepted):
+                    continue
                 prev_idx = int(idx)
                 rel2 = np.asarray(rel2, np.float64)
                 meas = geo.se2_to_se3_np(rel2).astype(np.float32)
