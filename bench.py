@@ -19,11 +19,19 @@ Baseline: the Navtech CIR204-H scan rate (4 Hz) — the real-time envelope the
 reference pipeline is built around (SURVEY §6; the reference publishes no
 throughput numbers, BASELINE.md).  vs_baseline = value / 4.0 for every line.
 
+Tunnel warm-up discipline (round-3 lesson): the axon backend pays a
+ONE-TIME ~170-520 s cost on the FIRST dispatch of a process — measured
+169 s for a 4-float jnp.add, after which a brand-new program compiles in
+1.6 s.  What round 2 logged as a "520 s cold compile" was almost entirely
+this per-process warm-up, not XLA.  So the first dispatch here is a tiny
+add issued from a background thread at process start, overlapped with the
+(CPU-side) scan rendering; every subsequent first-call time is a true
+compile/cache measurement.
+
 Compile-cache discipline: every jitted program's first-call wall time is
-logged; under ~30 s means the persistent cache at /root/.jax_cache was hit
-(cold compiles of the big programs run 2-10 minutes on the tunneled
-backend).  The cache key covers the exact HLO, so this file and the package
-must not change between the warming run and the measured run.
+logged; under ~30 s means the persistent cache at /root/.jax_cache was hit.
+The cache key covers the exact HLO, so this file and the package must not
+change between the warming run and the measured run.
 
 Timing discipline: device work is fenced ONLY by jax.device_get of an output
 leaf (block_until_ready returns early on the tunneled axon backend).
@@ -103,7 +111,30 @@ def _log_compile(name: str, dt: float):
     log(f"{name}: first call {dt:.1f}s ({kind})")
 
 
-def bench_full_slam(cfg, sim):
+class _TunnelWarmup:
+    """Pay the per-process first-dispatch cost of the tunneled backend in a
+    background thread while the host renders scans on CPU."""
+
+    def __init__(self):
+        import threading
+
+        self.dt = None
+        self._t0 = time.time()
+        self._th = threading.Thread(target=self._run, daemon=True)
+        self._th.start()
+
+    def _run(self):
+        jax.device_get(jnp.add(jnp.ones((8,), jnp.float32), 1.0))
+        self.dt = time.time() - self._t0
+
+    def join(self):
+        if self._th is not None:
+            self._th.join()
+            self._th = None
+            log(f"tunnel warm-up: {self.dt:.1f}s (overlapped with rendering)")
+
+
+def bench_full_slam(cfg, sim, warmup):
     """BASELINE config 3: the whole engine, streamed in chunks — FIRST.
 
     Multi-lap circuit (keyframe gate passes every scan at this speed), so
@@ -118,6 +149,7 @@ def bench_full_slam(cfg, sim):
     t0 = time.time()
     scans = np.stack([sim.render(gt[i], noise_seed=i) for i in range(n_scans)])
     log(f"rendered {n_scans} scans in {time.time() - t0:.1f}s")
+    warmup.join()   # first-dispatch tunnel cost paid during the render
 
     eng = SlamEngine(cfg)
     # warm-up/compile: first two chunks compile odometry-seq + kf_step +
@@ -237,11 +269,12 @@ def main():
 
     cfg = SlamConfig()
     sim = RadarSimulator(cfg.radar)
+    warmup = _TunnelWarmup()
 
     # headline FIRST: the full-SLAM number must exist even if everything
     # after it runs out of budget
     try:
-        bench_full_slam(cfg, sim)
+        bench_full_slam(cfg, sim, warmup)
     except Exception as e:
         log(f"full-SLAM section failed ({type(e).__name__}: {e})")
         emit("slam_full_scans_per_sec_1chip", 0.0, "scans/s")
@@ -251,6 +284,7 @@ def main():
         log("rendering scans...")
         scans = [jnp.asarray(sim.render(gt[i], noise_seed=i))
                  for i in range(len(gt))]
+        warmup.join()   # no-op unless the full-SLAM section failed early
         na = cfg.radar.num_azimuths
         azimuths = jnp.asarray(
             (np.arange(na) + 0.5) / na * 2 * np.pi, jnp.float32

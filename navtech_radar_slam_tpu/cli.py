@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="save engine checkpoint every N scans (0 = off)")
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p.add_argument("--prior_session", default=None,
+                   help="checkpoint of a PRIOR session to attach as a "
+                        "searchable prior map (multi-session / ltslam mode: "
+                        "the reference's unused Scancontext.cpp:267-328 "
+                        "API); the first inter-session loop rebases this "
+                        "session into the prior's frame")
     p.add_argument("--use_gps", type=_bool, default=False)
     p.add_argument("--no_native_loader", action="store_true",
                    help="force the NumPy decoder instead of the C++ runtime")
@@ -228,6 +234,10 @@ def main(argv=None) -> int:
     else:
         eng = SlamEngine(cfg, mesh=mesh)
         start_scan = 0
+        if args.prior_session:
+            print(f"attaching prior session {args.prior_session}")
+            eng.attach_prior_session(args.prior_session)
+            print(f"prior map: {eng.num_keyframes} keyframes")
 
     if args.loop_debug_dir:
         os.makedirs(args.loop_debug_dir, exist_ok=True)
@@ -423,6 +433,22 @@ def _finalize(args, eng, processed, wall, timers) -> int:
                 stats.rte = metrics.rte(se2_est[ia], se2_gt[ib])
                 print(f"ground truth: ATE {stats.ate_rmse:.3f} m, "
                       f"RTE {stats.rte:.3f} m over {len(ia)} paired poses")
+            # loop recall/precision vs ground-truth revisits (BASELINE
+            # config 2's metric): keyframe true positions come from the
+            # same time association, indexed per keyframe
+            kf_t = np.asarray(eng.kf_times, np.float64)
+            ka, kb = eval_mod.associate(kf_t, t_gt, 0.15)
+            if len(ka) == eng.num_keyframes:
+                rec, prec = metrics.loop_recall_precision(
+                    [(e.prev_idx, e.curr_idx) for e in eng.loops],
+                    se2_gt[kb][:, :2],
+                    min_separation=eng.cfg.scancontext.num_exclude_recent,
+                )
+                stats.loop_recall = rec
+                stats.loop_precision = prec
+                if not (np.isnan(rec) and np.isnan(prec)):
+                    print(f"loops vs ground truth: recall {rec:.2f}, "
+                          f"precision {prec:.2f}")
         except Exception as e:  # never fail the run on eval trouble
             print(f"ground-truth eval failed: {e}", file=sys.stderr)
 

@@ -69,6 +69,7 @@ def write_sequence(
     seed: int = 0,
     sim_cfg: SimConfig = None,
     progress: bool = False,
+    start_stamp_us: int = START_STAMP_US,
 ) -> np.ndarray:
     """Render + write the sequence; returns the (N, 3) ground-truth poses."""
     import cv2
@@ -91,7 +92,7 @@ def write_sequence(
             end_pose=gt[i + 1] if distort else None,
         )
         power = power * drop[i] if drop[i] != 1.0 else power
-        stamp_us = START_STAMP_US + round(i * period * 1e6)
+        stamp_us = start_stamp_us + round(i * period * 1e6)
         img = encode_polar_png(power, stamp_us, rc, period)
         cv2.imwrite(os.path.join(seq, f"{stamp_us}.png"), img)
         c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
@@ -127,12 +128,16 @@ def main(argv=None) -> int:
     p.add_argument("--no_distort", action="store_true",
                    help="render instantaneous (undistorted) sweeps")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stamp_offset_s", type=float, default=0.0,
+                   help="offset the first scan's timestamp (distinct "
+                        "sessions over one world need distinct stamps)")
     args = p.parse_args(argv)
 
     gt = write_sequence(
         args.out, num_scans=args.scans, radius=args.radius, speed=args.speed,
         dropouts=args.dropout, distort=not args.no_distort, seed=args.seed,
         progress=True,
+        start_stamp_us=START_STAMP_US + round(args.stamp_offset_s * 1e6),
     )
     laps = args.speed * args.scans / (4.0 * 2 * np.pi * args.radius)
     print(f"wrote {args.scans} scans ({laps:.2f} laps of r={args.radius} m) "

@@ -156,6 +156,8 @@ class RunStats:
     odometry_failures: int = 0
     ate_rmse: Optional[float] = None
     rte: Optional[float] = None
+    loop_recall: Optional[float] = None
+    loop_precision: Optional[float] = None
     frames_per_sec: Optional[float] = None
 
     def summary(self) -> str:
@@ -169,6 +171,10 @@ class RunStats:
             parts.append(f"ATE={self.ate_rmse:.3f}m")
         if self.rte is not None:
             parts.append(f"RTE={self.rte:.3f}m")
+        if self.loop_recall is not None and not np.isnan(self.loop_recall):
+            parts.append(f"loop_recall={self.loop_recall:.2f}")
+        if self.loop_precision is not None and not np.isnan(self.loop_precision):
+            parts.append(f"loop_precision={self.loop_precision:.2f}")
         if self.frames_per_sec is not None:
             parts.append(f"{self.frames_per_sec:.2f} scans/s")
         return " ".join(parts)
