@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "verification (query cloud + submap + decision "
                         "scalars — the reference's /loop_scan_local + "
                         "/loop_submap_local rviz streams)")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force the JAX backend (the JAX_PLATFORMS env var "
+                        "is overridden by site plugins here; this flag uses "
+                        "jax.config, which wins). cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "gives an N-device virtual mesh for --mesh runs")
     p.add_argument("--live", type=_bool, default=True,
                    help="emit live_path_tum.txt / live_map.csv snapshots at "
                         "MapConfig.path_rate_hz / map_rate_hz (wall clock) "
@@ -203,6 +209,8 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     try:  # persistent compile cache: first-run jits dominate cold starts
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.jax_cache"))
@@ -283,6 +291,7 @@ def main(argv=None) -> int:
     live = LiveOutputs(args.output_dir, cfg, eng) if args.live else None
 
     timers = profiling.StageTimers()
+    eng.timers = timers   # per-scan budget split (odometry / kf / loops / map)
     t0 = time.time()
     processed = 0
     if chunk > 1:
@@ -299,7 +308,8 @@ def main(argv=None) -> int:
                 eng.process_chunk(p[0], p[1], p[2])
             processed += len(p[2])
             if live is not None:
-                live.poll()
+                with timers.time("live_poll"):
+                    live.poll()
             if args.status_every and processed % (
                 args.status_every - args.status_every % chunk or chunk
             ) == 0:
@@ -353,7 +363,8 @@ def main(argv=None) -> int:
                 eng.process(power, azimuths, timestamp=ts)
             processed += 1
             if live is not None:
-                live.poll()
+                with timers.time("live_poll"):
+                    live.poll()
             if args.status_every and processed % args.status_every == 0:
                 pose = eng.current_pose()
                 print(

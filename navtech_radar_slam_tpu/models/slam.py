@@ -35,6 +35,7 @@ Over a high-latency link this hides a full round-trip per keyframe."""
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -349,6 +350,12 @@ class SlamEngine:
             )
         )
 
+        #: optional utils.profiling.StageTimers — when set, the engine
+        #: records the per-scan budget split (odometry dispatch, keyframe
+        #: step, loop fetch, PGO refine, map/path renders) the CLI reports
+        self.timers = None
+        #: jitted whole-map render, cached per (capacity, stride)
+        self._map_render = {}
         self.num_keyframes = 0
         self.movement_accum = 1e6      # first frame is always a keyframe
         # (laserPosegraphOptimization.cpp:63)
@@ -376,6 +383,14 @@ class SlamEngine:
         #: session was attached; the graph has an odometry gap there)
         self.session_start = 0
         self._rebased = True
+
+    @contextlib.contextmanager
+    def _stage(self, name: str):
+        if self.timers is None:
+            yield
+        else:
+            with self.timers.time(name):
+                yield
 
     def _shard_graph_factors(self, gg):
         """Device-put the graph's factor arrays onto the mesh: odometry/GPS
@@ -530,12 +545,13 @@ class SlamEngine:
         if seeded:
             odo.prev = odo._extract(powers[0], az[0] if az.ndim == 2 else az)
 
-        (odo.prev, _, coast_dev, rels, oks, _, xys, valids) = self._seq(
-            powers, az, odo.prev,
-            jnp.asarray(odo.last_rel, jnp.float32),
-            jnp.asarray(odo._coast, jnp.int32),
-        )
-        rels_h, oks_h, coast_h = jax.device_get((rels, oks, coast_dev))
+        with self._stage("odometry_seq"):
+            (odo.prev, _, coast_dev, rels, oks, _, xys, valids) = self._seq(
+                powers, az, odo.prev,
+                jnp.asarray(odo.last_rel, jnp.float32),
+                jnp.asarray(odo._coast, jnp.int32),
+            )
+            rels_h, oks_h, coast_h = jax.device_get((rels, oks, coast_dev))
         rels_h = np.asarray(rels_h, np.float64)
 
         for i in range(S):
@@ -674,16 +690,17 @@ class SlamEngine:
         else:
             # single-device path: the whole keyframe step is ONE dispatch
             # (descriptor + inserts + gated loop detect/verify + pose slice)
-            (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
-             self.graph.g, desc, cand, res, pose_dev) = self._kf_step(
-                self.clouds, self.clouds_valid, self.bank, self.ring_keys,
-                self.graph.g, jnp.asarray(k, jnp.int32),
-                xy, valid,
-                jnp.asarray(odo_pose, jnp.float32),
-                jnp.asarray(self.last_kf_pose, jnp.float32),
-                jnp.asarray(has_odom),
-                jnp.asarray(do_detect),
-            )
+            with self._stage("kf_step"):
+                (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+                 self.graph.g, desc, cand, res, pose_dev) = self._kf_step(
+                    self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+                    self.graph.g, jnp.asarray(k, jnp.int32),
+                    xy, valid,
+                    jnp.asarray(odo_pose, jnp.float32),
+                    jnp.asarray(self.last_kf_pose, jnp.float32),
+                    jnp.asarray(has_odom),
+                    jnp.asarray(do_detect),
+                )
         self.graph.num_nodes = k + 1
         self.last_kf_pose = odo_pose.copy()
         if self._pending_gps is not None and c.pgo.use_gps:
@@ -788,21 +805,24 @@ class SlamEngine:
         pending = self._pending_loops
         self._pending_loops = []
         # ONE host<->device round trip for the whole queue
-        fetched = jax.device_get([
-            (cand.found, res.accepted, cand.idx, cand.dist, res.fitness,
-             res.rel_pose, cand.yaw)
-            for _, cand, res in pending
-        ])
+        with self._stage("loop_fetch"):
+            fetched = jax.device_get([
+                (cand.found, res.accepted, cand.idx, cand.dist, res.fitness,
+                 res.rel_pose, cand.yaw)
+                for _, cand, res in pending
+            ])
         solved = False
         for (k, _, _), (found, accepted, idx, dist, fitness, rel2, yaw) in zip(
             pending, fetched
         ):
             if bool(found):
                 if self.loop_debug_dir is not None:
-                    self._dump_loop_debug(
-                        k, int(idx), bool(accepted), float(dist), float(yaw),
-                        float(fitness), np.asarray(rel2, np.float64),
-                    )
+                    with self._stage("loop_debug_dump"):
+                        self._dump_loop_debug(
+                            k, int(idx), bool(accepted), float(dist),
+                            float(yaw), float(fitness),
+                            np.asarray(rel2, np.float64),
+                        )
                 if not bool(accepted):
                     continue
                 prev_idx = int(idx)
@@ -852,9 +872,10 @@ class SlamEngine:
         if self.graph.num_loops == 0:
             return
         solver = self._solve_full if full else self._solve_fast
-        self.graph.g = solver(
-            self.graph.g, self.graph.num_nodes, self.graph.num_loops
-        )
+        with self._stage("pgo_refine_full" if full else "pgo_refine_fast"):
+            self.graph.g = solver(
+                self.graph.g, self.graph.num_nodes, self.graph.num_loops
+            )
 
     # -- outputs ------------------------------------------------------------
 
@@ -889,7 +910,8 @@ class SlamEngine:
         """(N_kf, 4, 4) optimized keyframe poses (the /aft_pgo_path output,
         laserPosegraphOptimization.cpp:620-630)."""
         self._flush_pending_loop()
-        return self.graph.poses()
+        with self._stage("path_render"):
+            return self.graph.poses()
 
     def aggregate_map(self, voxel: Optional[float] = None,
                       stride: Optional[int] = None) -> np.ndarray:
@@ -902,18 +924,29 @@ class SlamEngine:
         if self.num_keyframes == 0:
             return np.zeros((0, 2))
         self._flush_pending_loop()
-        poses = self.trajectory()
-        pts_out = []
-        clouds = np.asarray(self.clouds[: self.num_keyframes])
-        valids = np.asarray(self.clouds_valid[: self.num_keyframes])
-        for k in range(0, self.num_keyframes, stride):
-            se2 = np.asarray(geo.se3_to_se2(jnp.asarray(poses[k])))
-            p = np.asarray(
-                geo.se2_apply(jnp.asarray(se2, jnp.float32),
-                              jnp.asarray(clouds[k]))
-            )[valids[k]]
-            pts_out.append(p)
-        pts = np.concatenate(pts_out, axis=0)
+        # whole-map render is ONE jitted dispatch + one fetch: every
+        # stride-th keyframe cloud transformed by its optimized pose,
+        # batched.  (A host loop here cost one device round-trip per
+        # keyframe — ~10 s per snapshot at 600 keyframes over the tunnel,
+        # which dominated entire live runs.)  Voxel dedup stays host-side
+        # on the fetched points.
+        key = (self.clouds.shape[0], stride)
+        if key not in self._map_render:
+            def render(clouds, clouds_valid, poses_se3, num_kf):
+                idx = jnp.arange(0, clouds.shape[0], stride)
+                se2 = geo.se3_to_se2(poses_se3[idx])          # (Ms, 3)
+                pts = jax.vmap(geo.se2_apply)(se2, clouds[idx])
+                ok = clouds_valid[idx] & (idx < num_kf)[:, None]
+                return pts.reshape(-1, 2), ok.reshape(-1)
+
+            self._map_render[key] = jax.jit(render)
+        with self._stage("map_render"):
+            pts_dev, ok_dev = self._map_render[key](
+                self.clouds, self.clouds_valid, self.graph.g.poses,
+                jnp.asarray(self.num_keyframes, jnp.int32),
+            )
+            pts, ok = jax.device_get((pts_dev, ok_dev))
+        pts = pts[ok]
         if voxel > 0 and len(pts):
             keys = np.floor(pts / voxel).astype(np.int64)
             _, uniq = np.unique(keys, axis=0, return_index=True)
