@@ -43,31 +43,49 @@ class TicTocV2(TicToc):
 
 
 class StageTimers:
-    """Aggregated per-stage wall statistics (count / total / max)."""
+    """Aggregated per-stage wall statistics (count / total / self / max).
+
+    Stages may nest (e.g. live_poll wraps the engine's map_render); the
+    ``self`` column excludes time spent in nested stages, so self-times sum
+    to at most wall time even when totals overlap.  Caveat: stages that only
+    dispatch async device work (kf_step, pgo_refine_*) measure the dispatch,
+    not device execution — the eventual device sync lands in whichever stage
+    performs the blocking fetch (odometry_seq / loop_fetch)."""
 
     def __init__(self):
         self._total: Dict[str, float] = defaultdict(float)
+        self._self: Dict[str, float] = defaultdict(float)
         self._count: Dict[str, int] = defaultdict(int)
         self._max: Dict[str, float] = defaultdict(float)
+        self._stack = []   # [stage, accumulated child ms]
 
     @contextlib.contextmanager
     def time(self, stage: str):
         t0 = time.perf_counter()
+        self._stack.append([stage, 0.0])
         try:
             yield
         finally:
             ms = (time.perf_counter() - t0) * 1e3
+            _, child_ms = self._stack.pop()
             self._total[stage] += ms
+            self._self[stage] += ms - child_ms
             self._count[stage] += 1
             self._max[stage] = max(self._max[stage], ms)
+            if self._stack:
+                self._stack[-1][1] += ms
 
     def report(self) -> str:
-        lines = []
+        lines = [
+            "stage                    (totals may nest; `self` excludes "
+            "nested stages; async stages time the dispatch, not the device)"
+        ]
         for stage in sorted(self._total, key=self._total.get, reverse=True):
             n = self._count[stage]
             tot = self._total[stage]
             lines.append(
                 f"{stage:24s} n={n:6d} total={tot:9.1f}ms "
+                f"self={self._self[stage]:9.1f}ms "
                 f"mean={tot / max(n, 1):7.2f}ms max={self._max[stage]:7.2f}ms"
             )
         return "\n".join(lines)
