@@ -49,7 +49,7 @@ import jax
 # slow (minutes, high variance); once the persistent compile cache is warm
 # they are seconds.  The headline section runs first; the cheaper odometry
 # sections are skipped if the budget is nearly gone.
-_BUDGET_S = float(os.environ.get("NRS_BENCH_BUDGET_S", "480"))
+_BUDGET_S = float(os.environ.get("NRS_BENCH_BUDGET_S", "900"))
 _T_START = time.time()
 
 
@@ -119,19 +119,28 @@ class _TunnelWarmup:
         import threading
 
         self.dt = None
+        self.error = None
         self._t0 = time.time()
         self._th = threading.Thread(target=self._run, daemon=True)
         self._th.start()
 
     def _run(self):
-        jax.device_get(jnp.add(jnp.ones((8,), jnp.float32), 1.0))
-        self.dt = time.time() - self._t0
+        try:
+            jax.device_get(jnp.add(jnp.ones((8,), jnp.float32), 1.0))
+            self.dt = time.time() - self._t0
+        except Exception as e:  # surface backend/tunnel failures clearly
+            self.error = e
 
     def join(self):
         if self._th is not None:
             self._th.join()
             self._th = None
-            log(f"tunnel warm-up: {self.dt:.1f}s (overlapped with rendering)")
+            if self.error is not None:
+                log(f"tunnel warm-up FAILED: {type(self.error).__name__}: "
+                    f"{self.error}")
+            else:
+                log(f"tunnel warm-up: {self.dt:.1f}s "
+                    f"(overlapped with rendering)")
 
 
 def bench_full_slam(cfg, sim, warmup):
@@ -140,10 +149,17 @@ def bench_full_slam(cfg, sim, warmup):
     Multi-lap circuit (keyframe gate passes every scan at this speed), so
     the measured window carries the full steady-state keyframe cost:
     descriptor + bank insert + ScanContext all-shift search + submap ICP
-    verification + deferred loop commits + per-drain PGO refines."""
-    from navtech_radar_slam_tpu.models.slam import SlamEngine
+    verification + deferred loop commits + per-drain PGO refines.
 
-    n_scans, chunk = 128, 16
+    The measured window is >= 256 scans (VERDICT r3 next #8) after 3 warm
+    chunks, so drain cadence and refine buckets reach steady state inside
+    the measurement; the per-stage wall split (StageTimers) is logged so
+    the budget breakdown ships with the headline (r3 next #1)."""
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+    from navtech_radar_slam_tpu.utils.profiling import StageTimers
+
+    n_scans, chunk = 336, 16
+    warm_chunks = 3
     gt = sim.circuit_trajectory(n_scans, radius=10.0, speed=6.0)
     log("rendering SLAM circuit...")
     t0 = time.time()
@@ -152,20 +168,23 @@ def bench_full_slam(cfg, sim, warmup):
     warmup.join()   # first-dispatch tunnel cost paid during the render
 
     eng = SlamEngine(cfg)
-    # warm-up/compile: first two chunks compile odometry-seq + kf_step +
+    # warm-up/compile: first chunks compile odometry-seq + kf segments +
     # first refine buckets
     t0 = time.time()
     eng.process_chunk(scans[0:chunk])
     eng.current_pose()
     _log_compile("slam chunk 1", time.time() - t0)
-    t0 = time.time()
-    eng.process_chunk(scans[chunk:2 * chunk])
-    eng.current_pose()
-    log(f"slam chunk 2: {time.time() - t0:.1f}s")
+    for w in range(1, warm_chunks):
+        t0 = time.time()
+        eng.process_chunk(scans[w * chunk:(w + 1) * chunk])
+        eng.current_pose()
+        log(f"slam chunk {w + 1}: {time.time() - t0:.1f}s")
 
+    timers = StageTimers()
+    eng.timers = timers
     measured = 0
     t0 = time.time()
-    for c0 in range(2 * chunk, n_scans, chunk):
+    for c0 in range(warm_chunks * chunk, n_scans, chunk):
         eng.process_chunk(scans[c0:c0 + chunk])
         measured += chunk
     eng.current_pose()   # drains the deferred queue + fences the device
@@ -174,6 +193,7 @@ def bench_full_slam(cfg, sim, warmup):
     log(f"full SLAM: {sps:.2f} scans/s over {measured} scans "
         f"({eng.num_keyframes} kf, {len(eng.loops)} loops, "
         f"{1e3 * dt / measured:.1f} ms/scan)")
+    log("per-stage split of the measured window:\n" + timers.report())
     emit("slam_full_scans_per_sec_1chip", sps, "scans/s")
 
 
