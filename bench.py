@@ -49,7 +49,7 @@ import jax
 # slow (minutes, high variance); once the persistent compile cache is warm
 # they are seconds.  The headline section runs first; the cheaper odometry
 # sections are skipped if the budget is nearly gone.
-_BUDGET_S = float(os.environ.get("NRS_BENCH_BUDGET_S", "900"))
+_BUDGET_S = float(os.environ.get("NRS_BENCH_BUDGET_S", "1800"))
 _T_START = time.time()
 
 
@@ -163,29 +163,49 @@ def bench_full_slam(cfg, sim, warmup):
     gt = sim.circuit_trajectory(n_scans, radius=10.0, speed=6.0)
     log("rendering SLAM circuit...")
     t0 = time.time()
-    scans = np.stack([sim.render(gt[i], noise_seed=i) for i in range(n_scans)])
+    # uint8 scans, the sensor's native sample format (the CLI's raw_u8
+    # streaming mode): a float32 chunk is 88 MB and its synchronous upload
+    # alone cost ~2 s/chunk over the tunnel — that WAS the r4 first-run
+    # bottleneck, not device compute
+    scans = np.stack([
+        (np.clip(sim.render(gt[i], noise_seed=i), 0.0, 1.0) * 255)
+        .astype(np.uint8)
+        for i in range(n_scans)
+    ])
     log(f"rendered {n_scans} scans in {time.time() - t0:.1f}s")
     warmup.join()   # first-dispatch tunnel cost paid during the render
 
     eng = SlamEngine(cfg)
+    # Double-buffered upload (the CLI's deployment shape): chunk t+1 is
+    # device_put before chunk t is processed so the DMA rides alongside
+    # device compute.
+    dev = jax.device_put(scans[0:chunk])
+
+    def put_next(c0):
+        return (jax.device_put(scans[c0:c0 + chunk])
+                if c0 < n_scans else None)
+
     # warm-up/compile: first chunks compile odometry-seq + kf segments +
     # first refine buckets
-    t0 = time.time()
-    eng.process_chunk(scans[0:chunk])
-    eng.current_pose()
-    _log_compile("slam chunk 1", time.time() - t0)
-    for w in range(1, warm_chunks):
+    for w in range(warm_chunks):
         t0 = time.time()
-        eng.process_chunk(scans[w * chunk:(w + 1) * chunk])
+        nxt = put_next((w + 1) * chunk)
+        eng.process_chunk(dev)
         eng.current_pose()
-        log(f"slam chunk {w + 1}: {time.time() - t0:.1f}s")
+        dev = nxt
+        if w == 0:
+            _log_compile("slam chunk 1", time.time() - t0)
+        else:
+            log(f"slam chunk {w + 1}: {time.time() - t0:.1f}s")
 
     timers = StageTimers()
     eng.timers = timers
     measured = 0
     t0 = time.time()
     for c0 in range(warm_chunks * chunk, n_scans, chunk):
-        eng.process_chunk(scans[c0:c0 + chunk])
+        nxt = put_next(c0 + chunk)
+        eng.process_chunk(dev)
+        dev = nxt
         measured += chunk
     eng.current_pose()   # drains the deferred queue + fences the device
     dt = time.time() - t0
