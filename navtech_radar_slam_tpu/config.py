@@ -213,6 +213,15 @@ class IcpConfig:
     #: converged when the mean-squared correspondence error changes by less
     #: than this between iterations (PCL DefaultConvergenceCriteria)
     euclidean_fitness_eps: float = 1e-6
+    #: RELATIVE fitness-plateau exit (TPU-native addition, no PCL analogue):
+    #: also converged when |Δmse| < rel_fitness_eps * mse.  With speckle
+    #: noise the NN assignments oscillate forever at the optimum — the step
+    #: never falls below epsilon and the ABSOLUTE 1e-6 m² criterion never
+    #: fires at mse ~1e-2 m², so every verification ground the full
+    #: max_iters (~100 x 1.5 ms on chip) for a pose already jittering
+    #: within noise.  0.1 %/iteration improvement is far inside the gate's
+    #: margin; <= 0 disables (strict PCL criteria only).
+    rel_fitness_eps: float = 1e-3
     #: "whitened" (default): noise-normalized mean squared NN error, gate is
     #: scale-free (see class docstring); "pcl": raw mean squared NN distance
     #: in m² (reference getFitnessScore semantics, gate 0.3 at cpp:389)

@@ -118,21 +118,37 @@ def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
         q_xy = q_xy[take]
         q_valid = q_valid[take]
     center = jnp.maximum(cand.idx, 0)
-    tgt, tgt_valid = _build_submap(
-        clouds, clouds_valid, poses_se2, center, num_kf,
-        cfg.icp.submap_half_size, cfg.icp.max_target_points,
-        cfg.icp.submap_voxel_size,
-    )
-    # ICP aligns the query cloud into the candidate keyframe's frame.
-    # Init from the ScanContext yaw (the reference discards it; we use
-    # it — see ops/icp.py docstring).  SC yaw is "query rotated by yaw
-    # relative to match", so the query->match transform starts at -yaw.
-    init = jnp.where(
-        jnp.asarray(cfg.icp.use_yaw_init),
-        jnp.stack([0.0, 0.0, -cand.yaw]),
-        jnp.zeros(3),
-    )
-    return icp_ops.icp_se2(q_xy, q_valid, tgt, tgt_valid, init, cfg.icp)
+
+    def run(_):
+        tgt, tgt_valid = _build_submap(
+            clouds, clouds_valid, poses_se2, center, num_kf,
+            cfg.icp.submap_half_size, cfg.icp.max_target_points,
+            cfg.icp.submap_voxel_size,
+        )
+        # ICP aligns the query cloud into the candidate keyframe's frame.
+        # Init from the ScanContext yaw (the reference discards it; we use
+        # it — see ops/icp.py docstring).  SC yaw is "query rotated by yaw
+        # relative to match", so the query->match transform starts at -yaw.
+        init = jnp.where(
+            jnp.asarray(cfg.icp.use_yaw_init),
+            jnp.stack([0.0, 0.0, -cand.yaw]),
+            jnp.zeros(3),
+        )
+        return icp_ops.icp_se2(q_xy, q_valid, tgt, tgt_valid, init, cfg.icp)
+
+    def skip(_):
+        # no SC candidate: the reference never runs ICP either
+        # (detectLoopClosureID returns -1 and process_icp sees no queue
+        # entry); the result leaves are unread when found is False
+        return icp_ops.IcpResult(
+            rel_pose=jnp.zeros(3, jnp.float32),
+            fitness=jnp.asarray(jnp.inf, jnp.float32),
+            num_corr=jnp.asarray(0, jnp.int32),
+            converged=jnp.asarray(False),
+            accepted=jnp.asarray(False),
+        )
+
+    return jax.lax.cond(cand.found, run, skip, None)
 
 
 def _make_loop_pipeline(cfg: SlamConfig):

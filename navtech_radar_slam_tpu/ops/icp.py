@@ -123,7 +123,14 @@ def icp_se2(
         small = (step[0] < cfg.epsilon) & (step[1] < cfg.epsilon) & (
             step[2] < cfg.epsilon
         )
-        mse_static = jnp.abs(mse - prev_mse) < cfg.euclidean_fitness_eps
+        dmse = jnp.abs(mse - prev_mse)
+        mse_static = dmse < cfg.euclidean_fitness_eps
+        if cfg.rel_fitness_eps > 0:
+            # relative plateau: NN-assignment oscillation at the optimum
+            # keeps the step above epsilon while mse is static to ~0.1 %;
+            # without this every verification exhausts max_iters (see
+            # IcpConfig.rel_fitness_eps)
+            mse_static = mse_static | (dmse < cfg.rel_fitness_eps * mse)
         return (new_pose, small | mse_static, it + 1, mse)
 
     pose, converged, _, _ = jax.lax.while_loop(
