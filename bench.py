@@ -176,6 +176,15 @@ def bench_full_slam(cfg, sim, warmup):
     warmup.join()   # first-dispatch tunnel cost paid during the render
 
     eng = SlamEngine(cfg)
+    # compile EVERYTHING the streaming path needs up front (solver buckets,
+    # segment buckets, packers): over the tunnel each first-call costs
+    # 1-3 s (compile or cache load) and several only appear mid-run, where
+    # they masquerade as throughput loss.  Under ~60 s means the
+    # persistent cache was hit for the bulk of the programs.
+    t0 = time.time()
+    eng.prewarm(n_scans, chunk)
+    _log_compile("prewarm (all streaming programs)", time.time() - t0)
+
     # Double-buffered upload (the CLI's deployment shape): chunk t+1 is
     # device_put before chunk t is processed so the DMA rides alongside
     # device compute.

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream N scans per device dispatch (device-side "
                         "lax.scan odometry; 0 = per-scan). Incompatible "
                         "with --use_gps (per-scan association).")
+    p.add_argument("--prewarm", type=_bool, default=True,
+                   help="compile all streaming programs (solver buckets, "
+                        "segment buckets, packers) before the first scan — "
+                        "avoids mid-run compile hiccups exactly when loops "
+                        "close; chunk mode only")
     p.add_argument("--loop_debug_dir", default=None,
                    help="dump loop_<k>_<accepted|rejected>.npz per loop "
                         "verification (query cloud + submap + decision "
@@ -306,6 +311,12 @@ def main(argv=None) -> int:
             warm["processed"] = processed
 
     if chunk > 1:
+        if args.prewarm and args.mesh <= 1:
+            tp = time.time()
+            eng.prewarm(min(total, eng.cfg.keyframes.max_keyframes), chunk,
+                        per_scan_azimuths=True)
+            print(f"prewarm: {time.time() - tp:.1f}s "
+                  f"(compiled streaming programs)")
         # Double-buffered streaming: chunk t+1 is device_put BEFORE chunk t
         # is processed, so its host->device transfer overlaps chunk t's
         # compute (device_put is async; the DMA rides alongside execution).

