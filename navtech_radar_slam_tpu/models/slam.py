@@ -312,56 +312,113 @@ def _make_kf_step(cfg: SlamConfig):
 
 
 def _make_kf_segment(cfg: SlamConfig, T: int):
-    """ONE jitted program advancing a whole SEGMENT of up to T keyframes:
-    `lax.scan` over _kf_step_body with per-slot detect gating.
+    """ONE jitted program advancing a whole SEGMENT of up to T keyframes —
+    batched inserts, then BATCHED (vmapped) detection + ICP verification.
 
     This is the streaming-throughput shape (VERDICT r3 next #1): the per-scan
     path dispatches one _kf_step per keyframe, and over a high-latency
     tunneled device each dispatch (plus its small host->device argument
     transfers) is a round-trip — at 16 keyframes/chunk that host-loop
-    structure, not chip compute, set the 400 ms/scan r3 headline.  Scanning
-    the keyframe path on device collapses a whole drain-segment of keyframes
-    into ONE dispatch; the per-keyframe loop-decision scalars come back as
+    structure, not chip compute, set the 400 ms/scan r3 headline.  Fusing a
+    whole drain-segment of keyframes into ONE dispatch removes the
+    round-trips; the per-keyframe loop-decision scalars come back as
     stacked (T,) leaves fetched once per drain.
 
-    Inactive tail slots (t >= n_slots) still execute the insert with an
-    all-False validity mask, writing throwaway state at indices >= the real
-    keyframe count — harmless because every consumer bounds reads by
-    num_nodes/num_kf and a later real insert overwrites every field; gating
-    the state update itself behind a cond would force XLA to materialize
-    both full-state branches.  Detection IS gated per slot (do_detects &
-    active), so inactive slots never pay the search+ICP cost.
+    TPU-first structure: a first (lax.scan) version serialized T
+    detect+verify bodies on device, leaving the MXU idle between many small
+    ops — measured ~10x slower than the same work batched.  Detection only
+    READS bank/clouds/poses, and the sequential semantics are fully encoded
+    by a per-slot visibility bound num_kf = k0 + t + 1 (slot t sees exactly
+    the inserts of slots <= t; poses do not change within a segment because
+    refines only run at drains).  So the program (a) scatters ALL T
+    descriptors/clouds/graph rows in one shot (one tiny chain scan derives
+    the pose inits), then (b) vmaps detection + submap ICP over the T
+    queries against the FINAL banks with per-slot num_kf — bit-identical
+    results to the sequential interleaving, with the T distance matmuls and
+    ICP iterations batched onto the MXU in lockstep.
+
+    Inactive tail slots (t >= n_slots) are masked all-invalid and write
+    scratch at indices >= the real keyframe count — harmless (every
+    consumer bounds reads by num_nodes/num_kf and a later real insert
+    overwrites every field).  Detection results for inactive or non-detect
+    slots are computed-but-unread (the host only queues slots whose
+    do_detect gate passed); an all-invalid ICP query converges on its
+    first iteration, so the waste is bounded.
 
     Segmenting (host side, SlamEngine._process_keyframes) preserves EXACT
     per-scan semantics: a segment never crosses a deferred-drain boundary,
     a capacity-growth point, a GPS attach, or a keyframe that needs an
     in-line fast refine — those keyframes take the per-keyframe path."""
+    vox = cfg.keyframes.keyframe_voxel_size
 
     def fn(clouds, clouds_valid, bank, ring_keys, g, k0, n_slots, sel,
            xys, valids, odo_poses, prev_odos, has_odoms, do_detects):
-        def body(carry, inp):
-            clouds, clouds_valid, bank, ring_keys, g = carry
-            t, si, odo, prev, has_odom, do_det = inp
-            k = (k0 + t).astype(jnp.int32)
-            active = t < n_slots
-            (clouds, clouds_valid, bank, ring_keys, g, _desc, cand,
-             res) = _kf_step_body(
-                cfg, clouds, clouds_valid, bank, ring_keys, g, k,
-                xys[si], valids[si] & active, odo, prev, has_odom,
-                do_det & active,
-            )
-            return (clouds, clouds_valid, bank, ring_keys, g), (cand, res)
+        del do_detects   # host-side gate: non-detect slots are never read
+        K = xys.shape[1]
+        active = jnp.arange(T, dtype=jnp.int32) < n_slots
+        q_xy = xys[sel]                                # (T, K, 2)
+        q_valid = valids[sel] & active[:, None]        # (T, K)
+        # keyframe voxel filter + ScanContext descriptors, batched
+        # (cpp:482-495: 0.4 m downsample before both store and descriptor)
+        q_valid = jax.vmap(
+            lambda xy, v: voxel_dedup_mask(xy, v, vox)
+        )(q_xy, q_valid)
+        zc = jnp.zeros((K,), jnp.float32)
+        descs = jax.vmap(
+            lambda xy, v: sc_ops.make_scancontext(xy, zc, v, cfg.scancontext)
+        )(q_xy, q_valid)
+        rkeys = jax.vmap(sc_ops.ring_key)(descs)
+        clouds = jax.lax.dynamic_update_slice(clouds, q_xy, (k0, 0, 0))
+        clouds_valid = jax.lax.dynamic_update_slice(clouds_valid, q_valid,
+                                                    (k0, 0))
+        bank = jax.lax.dynamic_update_slice(bank, descs, (k0, 0, 0))
+        ring_keys = jax.lax.dynamic_update_slice(ring_keys, rkeys, (k0, 0))
 
-        carry0 = (clouds, clouds_valid, bank, ring_keys, g)
-        (clouds, clouds_valid, bank, ring_keys, g), (cands, ress) = (
-            jax.lax.scan(
-                body, carry0,
-                (jnp.arange(T, dtype=jnp.int32), sel, odo_poses, prev_odos,
-                 has_odoms, do_detects),
-            )
+        # graph rows: odometry Between measurements + chained pose inits
+        # (init_t = init_{t-1} o meas_t; slot 0 chains off the last
+        # optimized pose — iSAM2 init semantics, cpp:497-524)
+        meas = jax.vmap(
+            lambda p, o: geo.se2_to_se3(geo.se2_between(p, o))
+        )(prev_odos, odo_poses)                        # (T, 4, 4)
+        pose_abs = jax.vmap(geo.se2_to_se3)(odo_poses)
+
+        def chain(prev_pose, inp):
+            meas_t, abs_t, has = inp
+            init = jnp.where(has, geo.se3_mul(prev_pose, meas_t), abs_t)
+            return init, init
+
+        prev0 = g.poses[jnp.maximum(k0 - 1, 0)]
+        _, inits = jax.lax.scan(chain, prev0, (meas, pose_abs, has_odoms))
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=meas.dtype), meas.shape)
+        g = g._replace(
+            poses=jax.lax.dynamic_update_slice(g.poses, inits, (k0, 0, 0)),
+            odom_meas=jax.lax.dynamic_update_slice(
+                g.odom_meas, jnp.where(has_odoms[:, None, None], meas, eye),
+                (k0, 0, 0),
+            ),
+            odom_valid=jax.lax.dynamic_update_slice(
+                g.odom_valid, has_odoms, (k0,)
+            ),
+            num_nodes=(k0 + n_slots).astype(jnp.int32),
         )
-        # inactive tail slots bumped num_nodes past the real count; fix it
-        g = g._replace(num_nodes=(k0 + n_slots).astype(jnp.int32))
+
+        # batched detection + verification against the FINAL banks; the
+        # per-slot num_kf bound reproduces the sequential visibility
+        poses_se2 = geo.se3_to_se2(g.poses)
+        num_kfs = (k0 + 1 + jnp.arange(T)).astype(jnp.int32)
+
+        def detect_one(desc, xy, valid, num_kf):
+            if cfg.scancontext.search_mode == "ringkey":
+                cand = sc_ops.detect_loop_ringkey(
+                    desc, bank, ring_keys, num_kf, cfg.scancontext
+                )
+            else:
+                cand = sc_ops.detect_loop(desc, bank, num_kf, cfg.scancontext)
+            res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
+                                    xy, valid, num_kf, cfg)
+            return cand, res
+
+        cands, ress = jax.vmap(detect_one)(descs, q_xy, q_valid, num_kfs)
         last_pose = geo.se3_to_se2(g.poses[k0 + n_slots - 1])
         return (clouds, clouds_valid, bank, ring_keys, g, cands, ress,
                 last_pose)
@@ -859,6 +916,14 @@ class SlamEngine:
                 if do_det:
                     pend += 1
                 k_sim += 1
+            # the batched segment writes a contiguous [k0, k0+Tp) block via
+            # dynamic_update_slice, whose out-of-bounds starts CLAMP (they
+            # would shift the block over real keyframes); near capacity,
+            # shrink the segment until its padded bucket fits
+            cap_rows = min(c.keyframes.max_keyframes, c.pgo.max_nodes)
+            while seg and (self.num_keyframes
+                           + self._segment_bucket(len(seg)) > cap_rows):
+                seg.pop()
             if not seg:
                 if self._pending_count >= c.pgo.loop_commit_defer:
                     # drain here (exactly where the per-scan path would),
