@@ -125,7 +125,10 @@ class LiveOutputs:
         if self._path_period is not None and now >= self._next_path:
             from navtech_radar_slam_tpu.data.mulran import save_trajectory_tum
 
-            traj = self.eng.trajectory()
+            # drain=False: snapshots never force deferred-loop commits (the
+            # reference's publisher threads read state asynchronously too);
+            # the path may lag loop corrections by <= loop_commit_defer kf
+            traj = self.eng.trajectory(drain=False)
             self._atomic_write(
                 "live_path_tum.txt",
                 lambda p: save_trajectory_tum(p, self.eng.kf_times, traj),
@@ -134,7 +137,7 @@ class LiveOutputs:
         if self._map_period is not None and now >= self._next_map:
             import numpy as np
 
-            pts = self.eng.aggregate_map()
+            pts = self.eng.aggregate_map(drain=False)
             self._atomic_write(
                 "live_map.csv",
                 lambda p: np.savetxt(p, pts, delimiter=",", header="x,y",

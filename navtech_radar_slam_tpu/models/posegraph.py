@@ -484,4 +484,8 @@ class PoseGraph:
         self.g = self._solve(self.g, self.num_nodes, self.num_loops)
 
     def poses(self) -> np.ndarray:
-        return np.asarray(self.g.poses[: self.num_nodes])
+        # fetch the FULL padded array and slice on host: a device-side
+        # [:num_nodes] slice has a different shape every call, compiling a
+        # fresh program per snapshot over the tunneled backend (~0.5 s per
+        # live-path poll); the padded fetch is one round trip + ~256 KB
+        return np.asarray(jax.device_get(self.g.poses))[: self.num_nodes]

@@ -1217,15 +1217,27 @@ class SlamEngine:
 
     def _make_debug_submap(self):
         """Jitted submap re-render for loop debug artifacts (rebuilt on
-        capacity growth alongside the other shape-dependent pipelines)."""
+        capacity growth alongside the other shape-dependent pipelines).
+
+        Returns ONE packed f32 vector [query xy | query valid | submap xy |
+        submap valid]: the query slice happens inside the program with k as
+        a traced argument (an eager clouds[k] embeds k as a constant — a
+        fresh compile per keyframe over the tunnel) and the single-leaf
+        fetch pays one round trip instead of four."""
         c = self.cfg
 
-        def fn(clouds, clouds_valid, poses_se3, center, num_kf):
-            return _build_submap(
+        def fn(clouds, clouds_valid, poses_se3, center, num_kf, k):
+            sub_xy, sub_valid = _build_submap(
                 clouds, clouds_valid, geo.se3_to_se2(poses_se3), center,
                 num_kf, c.icp.submap_half_size, c.icp.max_target_points,
                 c.icp.submap_voxel_size,
             )
+            return jnp.concatenate([
+                clouds[k].ravel(),
+                clouds_valid[k].astype(jnp.float32),
+                sub_xy.ravel(),
+                sub_valid.astype(jnp.float32),
+            ])
 
         return jax.jit(fn)
 
@@ -1244,14 +1256,18 @@ class SlamEngine:
         of the moment)."""
         import os
 
-        sub_xy, sub_valid = self._debug_submap(
+        p = jax.device_get(self._debug_submap(
             self.clouds, self.clouds_valid, self.graph.g.poses,
             jnp.asarray(prev_idx, jnp.int32),
             jnp.asarray(self.num_keyframes, jnp.int32),
-        )
-        q_xy, q_valid, sub_xy, sub_valid = jax.device_get(
-            (self.clouds[k], self.clouds_valid[k], sub_xy, sub_valid)
-        )
+            jnp.asarray(k, jnp.int32),
+        ))
+        K = self.clouds.shape[1]
+        M = self.cfg.icp.max_target_points
+        q_xy = p[:2 * K].reshape(K, 2)
+        q_valid = p[2 * K:3 * K] > 0.5
+        sub_xy = p[3 * K:3 * K + 2 * M].reshape(M, 2)
+        sub_valid = p[3 * K + 2 * M:] > 0.5
         verdict = "accepted" if accepted else "rejected"
         path = os.path.join(self.loop_debug_dir, f"loop_{k:05d}_{verdict}.npz")
         np.savez(
@@ -1394,24 +1410,33 @@ class SlamEngine:
             self._cur_pose = np.asarray(jax.device_get(dev), np.float64)
         return self._cur_pose.copy()
 
-    def trajectory(self) -> np.ndarray:
+    def trajectory(self, drain: bool = True) -> np.ndarray:
         """(N_kf, 4, 4) optimized keyframe poses (the /aft_pgo_path output,
-        laserPosegraphOptimization.cpp:620-630)."""
-        self._flush_pending_loop()
+        laserPosegraphOptimization.cpp:620-630).
+
+        drain=False skips the deferred-loop drain: the snapshot may lag the
+        newest loop corrections by up to loop_commit_defer keyframes — the
+        same lag the reference's async publisher threads have.  Live
+        outputs use it so polling never forces commits mid-stream."""
+        if drain:
+            self._flush_pending_loop()
         with self._stage("path_render"):
             return self.graph.poses()
 
     def aggregate_map(self, voxel: Optional[float] = None,
-                      stride: Optional[int] = None) -> np.ndarray:
+                      stride: Optional[int] = None,
+                      drain: bool = True) -> np.ndarray:
         """Aggregated global feature map (the /aft_pgo_map output,
         cpp:632-668): every `stride`-th keyframe cloud transformed by its
-        optimized pose, voxel-deduplicated at `voxel` meters."""
+        optimized pose, voxel-deduplicated at `voxel` meters.  drain=False:
+        see trajectory()."""
         c = self.cfg
         voxel = voxel if voxel is not None else c.map.map_voxel_size
         stride = stride if stride is not None else c.map.keyframe_stride
         if self.num_keyframes == 0:
             return np.zeros((0, 2))
-        self._flush_pending_loop()
+        if drain:
+            self._flush_pending_loop()
         # whole-map render is ONE jitted dispatch + one fetch: every
         # stride-th keyframe cloud transformed by its optimized pose,
         # batched.  (A host loop here cost one device round-trip per
