@@ -316,8 +316,14 @@ def main(argv=None) -> int:
     if chunk > 1:
         if args.prewarm and args.mesh <= 1:
             tp = time.time()
-            eng.prewarm(min(total, eng.cfg.keyframes.max_keyframes), chunk,
-                        per_scan_azimuths=True)
+            exp = min(total, eng.cfg.keyframes.max_keyframes)
+            eng.prewarm(exp, chunk, per_scan_azimuths=True)
+            # the last partial chunk binds different array shapes — its
+            # programs (odometry seq, segment buckets) are distinct; warm
+            # them too or they compile mid-run in the steady window
+            rem = (total - start_scan) % chunk
+            if rem:
+                eng.prewarm(exp, rem, per_scan_azimuths=True)
             print(f"prewarm: {time.time() - tp:.1f}s "
                   f"(compiled streaming programs)")
         # Double-buffered streaming: chunk t+1 is device_put BEFORE chunk t

@@ -1032,6 +1032,10 @@ class SlamEngine:
                 break
             Tp *= 2
         self._pack_decisions(*dummy_pair(()))
+        if self.loop_debug_dir is not None:
+            self._debug_submap(self.clouds, self.clouds_valid, g.poses,
+                               jnp.asarray(0, jnp.int32),
+                               jnp.asarray(1, jnp.int32), zero)
         # per-keyframe fallback path (first keyframe, GPS attach, growth)
         out = self._kf_step(self.clouds, self.clouds_valid, self.bank,
                             self.ring_keys, g, k0, xys[0], valids[0],
