@@ -702,7 +702,7 @@ class SlamEngine:
         return self._pose_estimate()
 
     def process_chunk(self, powers, azimuths=None,
-                      timestamps=None) -> np.ndarray:
+                      timestamps=None) -> Optional[np.ndarray]:
         """Feed S consecutive scans in ONE device dispatch (streaming mode).
 
         Odometry for the whole chunk runs device-side via
@@ -710,8 +710,13 @@ class SlamEngine:
         per-scan dispatch + fetch round-trips of process() collapse to one
         per chunk; keyframing, loop closure and PGO then run per keyframe
         exactly as in process().  Semantically equivalent to S process()
-        calls (same gate, same coast fallback); returns the optimized pose
-        after the last scan.  Chunks of a fixed S avoid re-jits.
+        calls (same gate, same coast fallback).  Chunks of a fixed S avoid
+        re-jits.
+
+        Returns None: unlike process(), no pose is fetched — a per-chunk
+        device_get would fence the chunk's own in-flight keyframe work
+        (measured ~0.8 s/chunk of pipeline stall over the tunnel).  Call
+        current_pose() (drains + fetches) when a pose is needed.
 
         GPS caveat: add_gps() associates a fix with the NEXT keyframe; in
         chunk mode that is the first keyframe created anywhere in the chunk,
@@ -796,7 +801,7 @@ class SlamEngine:
         odo._coast = int(coast_h)
         if kfs:
             self._process_keyframes(kfs, xys, valids)
-        return self._pose_estimate()
+        return None
 
     # -- keyframe path ------------------------------------------------------
 
