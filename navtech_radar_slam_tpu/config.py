@@ -275,9 +275,11 @@ class PgoConfig:
     #: reference's asynchronous scLoopICPBuf, unbounded with a backlog
     #: warning at 30, cpp:593-595).  1 = commit at the very next keyframe;
     #: larger values amortize the host<->device decision fetch over many
-    #: keyframes (the streaming-throughput shape).  Output consumers
-    #: (current_pose/trajectory/map/checkpoint) always drain the queue.
-    loop_commit_defer: int = 8
+    #: keyframes AND widen the fused segment (deeper MXU batching of the
+    #: per-keyframe detect+ICP).  16 keeps the commit lag at 4 s of sensor
+    #: time — well under the reference's 30-entry backlog warning.  Output
+    #: consumers (current_pose/trajectory/map/checkpoint) always drain.
+    loop_commit_defer: int = 16
     lm_lambda0: float = 1e-6
     #: CG preconditioner: "chain" inverts the odometry-chain Hessian exactly
     #: via prefix/suffix scans (information crosses the whole graph each CG
