@@ -323,7 +323,7 @@ def main(argv=None) -> int:
             # them too or they compile mid-run in the steady window
             rem = (total - start_scan) % chunk
             if rem:
-                eng.prewarm(exp, rem, per_scan_azimuths=True)
+                eng.prewarm(exp, rem, per_scan_azimuths=True, full=False)
             print(f"prewarm: {time.time() - tp:.1f}s "
                   f"(compiled streaming programs)")
         # Double-buffered streaming: chunk t+1 is device_put BEFORE chunk t

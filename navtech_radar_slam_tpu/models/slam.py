@@ -104,6 +104,27 @@ def _build_submap(
     return flat[take], vflat[take]
 
 
+def _empty_candidate(shape=()):
+    """All-zero LoopCandidate of the given batch shape (found=False)."""
+    return sc_ops.LoopCandidate(
+        idx=jnp.full(shape, -1, jnp.int32),
+        dist=jnp.full(shape, jnp.inf, jnp.float32),
+        yaw=jnp.zeros(shape, jnp.float32),
+        found=jnp.zeros(shape, bool),
+    )
+
+
+def _empty_icp_result(shape=()):
+    """All-zero IcpResult of the given batch shape (accepted=False)."""
+    return icp_ops.IcpResult(
+        rel_pose=jnp.zeros(shape + (3,), jnp.float32),
+        fitness=jnp.full(shape, jnp.inf, jnp.float32),
+        num_corr=jnp.zeros(shape, jnp.int32),
+        converged=jnp.zeros(shape, bool),
+        accepted=jnp.zeros(shape, bool),
+    )
+
+
 def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
                       num_kf, cfg: SlamConfig):
     """Submap build + ICP for a loop candidate (shared by both paths)."""
@@ -140,13 +161,7 @@ def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
         # no SC candidate: the reference never runs ICP either
         # (detectLoopClosureID returns -1 and process_icp sees no queue
         # entry); the result leaves are unread when found is False
-        return icp_ops.IcpResult(
-            rel_pose=jnp.zeros(3, jnp.float32),
-            fitness=jnp.asarray(jnp.inf, jnp.float32),
-            num_corr=jnp.asarray(0, jnp.int32),
-            converged=jnp.asarray(False),
-            accepted=jnp.asarray(False),
-        )
+        return _empty_icp_result()
 
     return jax.lax.cond(cand.found, run, skip, None)
 
@@ -269,20 +284,7 @@ def _kf_step_body(cfg: SlamConfig, clouds, clouds_valid, bank, ring_keys, g,
         return cand, res
 
     def skip(_):
-        cand = sc_ops.LoopCandidate(
-            idx=jnp.asarray(-1, jnp.int32),
-            dist=jnp.asarray(jnp.inf, jnp.float32),
-            yaw=jnp.asarray(0.0, jnp.float32),
-            found=jnp.asarray(False),
-        )
-        res = icp_ops.IcpResult(
-            rel_pose=jnp.zeros(3, jnp.float32),
-            fitness=jnp.asarray(jnp.inf, jnp.float32),
-            num_corr=jnp.asarray(0, jnp.int32),
-            converged=jnp.asarray(False),
-            accepted=jnp.asarray(False),
-        )
-        return cand, res
+        return _empty_candidate(), _empty_icp_result()
 
     cand, res = jax.lax.cond(do_detect, detect, skip, None)
     return clouds, clouds_valid, bank, ring_keys, g, desc, cand, res
@@ -311,7 +313,7 @@ def _make_kf_step(cfg: SlamConfig):
     return jax.jit(fn)
 
 
-def _make_kf_segment(cfg: SlamConfig, T: int):
+def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True):
     """ONE jitted program advancing a whole SEGMENT of up to T keyframes —
     batched inserts, then BATCHED (vmapped) detection + ICP verification.
 
@@ -340,10 +342,15 @@ def _make_kf_segment(cfg: SlamConfig, T: int):
     Inactive tail slots (t >= n_slots) are masked all-invalid and write
     scratch at indices >= the real keyframe count — harmless (every
     consumer bounds reads by num_nodes/num_kf and a later real insert
-    overwrites every field).  Detection results for inactive or non-detect
-    slots are computed-but-unread (the host only queues slots whose
-    do_detect gate passed); an all-invalid ICP query converges on its
-    first iteration, so the waste is bounded.
+    overwrites every field).  ``with_detect=False`` compiles an
+    insert-only variant (no detection phase at all) — used whenever NO
+    slot in the segment passes the do_detect gate (do_slam off, the
+    exclude-recent warm-up window, sparse detect cadences), where the
+    vmapped batch would otherwise pay full SC search + ICP per slot for
+    results nobody reads (lax.cond lowers to select under vmap, so
+    per-slot gating cannot skip the work).  In a MIXED segment the
+    non-detect slots' results are still computed-but-unread (the host only
+    queues slots whose gate passed).
 
     Segmenting (host side, SlamEngine._process_keyframes) preserves EXACT
     per-scan semantics: a segment never crosses a deferred-drain boundary,
@@ -402,23 +409,27 @@ def _make_kf_segment(cfg: SlamConfig, T: int):
             num_nodes=(k0 + n_slots).astype(jnp.int32),
         )
 
-        # batched detection + verification against the FINAL banks; the
-        # per-slot num_kf bound reproduces the sequential visibility
-        poses_se2 = geo.se3_to_se2(g.poses)
-        num_kfs = (k0 + 1 + jnp.arange(T)).astype(jnp.int32)
+        if with_detect:
+            # batched detection + verification against the FINAL banks; the
+            # per-slot num_kf bound reproduces the sequential visibility
+            poses_se2 = geo.se3_to_se2(g.poses)
+            num_kfs = (k0 + 1 + jnp.arange(T)).astype(jnp.int32)
 
-        def detect_one(desc, xy, valid, num_kf):
-            if cfg.scancontext.search_mode == "ringkey":
-                cand = sc_ops.detect_loop_ringkey(
-                    desc, bank, ring_keys, num_kf, cfg.scancontext
-                )
-            else:
-                cand = sc_ops.detect_loop(desc, bank, num_kf, cfg.scancontext)
-            res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
-                                    xy, valid, num_kf, cfg)
-            return cand, res
+            def detect_one(desc, xy, valid, num_kf):
+                if cfg.scancontext.search_mode == "ringkey":
+                    cand = sc_ops.detect_loop_ringkey(
+                        desc, bank, ring_keys, num_kf, cfg.scancontext
+                    )
+                else:
+                    cand = sc_ops.detect_loop(desc, bank, num_kf,
+                                              cfg.scancontext)
+                res = _verify_candidate(cand, clouds, clouds_valid,
+                                        poses_se2, xy, valid, num_kf, cfg)
+                return cand, res
 
-        cands, ress = jax.vmap(detect_one)(descs, q_xy, q_valid, num_kfs)
+            cands, ress = jax.vmap(detect_one)(descs, q_xy, q_valid, num_kfs)
+        else:
+            cands, ress = _empty_candidate((T,)), _empty_icp_result((T,))
         last_pose = geo.se3_to_se2(g.poses[k0 + n_slots - 1])
         return (clouds, clouds_valid, bank, ring_keys, g, cands, ress,
                 last_pose)
@@ -658,6 +669,23 @@ class SlamEngine:
                 int(z["graph_loop_i"][l]), int(z["graph_loop_j"][l]),
                 np.asarray(z["graph_loop_meas"][l]),
             )
+        # carry the prior's GPS factors + altitude datum for the same
+        # rigidity reason as the loops (z-axis pinning in the merged solve);
+        # the datum must survive so the new session's fixes stay in the
+        # SAME relative-altitude frame as the prior's factors
+        if "graph_gps_valid" in z:
+            gv = np.asarray(z["graph_gps_valid"])[:P]
+            if gv.any():
+                gm = np.asarray(z["graph_gps_meas"])[:P]
+                gg = self.graph.g
+                self.graph.g = gg._replace(
+                    gps_meas=gg.gps_meas.at[:P].set(jnp.asarray(gm)),
+                    gps_valid=gg.gps_valid.at[:P].set(jnp.asarray(gv)),
+                )
+        if "gps_alt_offset" in z:
+            off = float(z["gps_alt_offset"])
+            if not np.isnan(off):
+                self.gps_alt_offset = off
         self.num_keyframes = P
         self.session_start = P
         self._rebased = False
@@ -879,23 +907,23 @@ class SlamEngine:
         arrays from make_odometry_sequence — slot selection happens inside
         the segment program, so feature clouds never take a host round trip.
         """
-        c = self.cfg
-        det_n = c.scancontext.detect_every_n_keyframes
-        fused_ok = (
-            self._sharded_detect is None
-            and not (self._pending_gps is not None and c.pgo.use_gps)
-        )
         idx, n = 0, len(kfs)
         while idx < n:
+            # re-read the config each iteration: a fallback _add_keyframe
+            # below may have grown capacity mid-chunk, and stale caps would
+            # route the rest of the chunk through the per-keyframe path
+            c = self.cfg
+            det_n = c.scancontext.detect_every_n_keyframes
+            fused_ok = (
+                self._sharded_detect is None
+                and not (self._pending_gps is not None and c.pgo.use_gps)
+            )
             i, odo_pose, ts = kfs[idx]
             if not fused_ok:
+                # per-keyframe path (mesh engine, or the one GPS-bearing
+                # keyframe); fused_ok is re-evaluated next iteration
                 self._add_keyframe(odo_pose, xys[i], valids[i], ts)
                 idx += 1
-                # GPS attaches to only the FIRST keyframe; the rest may fuse
-                fused_ok = (
-                    self._sharded_detect is None
-                    and not (self._pending_gps is not None and c.pgo.use_gps)
-                )
                 continue
             # grow the segment until per-scan semantics require a host step
             t_max = self._segment_bucket(n - idx)
@@ -942,7 +970,8 @@ class SlamEngine:
             idx += len(seg)
 
     def prewarm(self, expected_keyframes: int, chunk: int = 16,
-                scan_dtype=jnp.uint8, per_scan_azimuths: bool = False):
+                scan_dtype=jnp.uint8, per_scan_azimuths: bool = False,
+                full: bool = True):
         """Compile every program the single-device streaming path will need,
         BEFORE real scans arrive.
 
@@ -960,26 +989,31 @@ class SlamEngine:
         ``expected_keyframes`` bounds the solver buckets to compile (worst
         case: every scan a keyframe).  ``scan_dtype`` must match what the
         caller will feed (uint8 for the raw-u8 streaming path; a dtype
-        mismatch is a different program).  No-op for the mesh-sharded
-        engine beyond the solvers (its detection runs per-keyframe through
-        separately compiled sharded programs)."""
+        mismatch is a different program).  ``full=False`` warms only the
+        chunk-size-dependent programs (odometry sequence, segment buckets,
+        packers) — for a second call covering a sequence's partial LAST
+        chunk, whose shapes are distinct but whose solvers/fallbacks are
+        already warm.  No-op for the mesh-sharded engine beyond the solvers
+        (its detection runs per-keyframe through separately compiled
+        sharded programs)."""
         from navtech_radar_slam_tpu.models import odometry as odo_mod
 
         c = self.cfg
         K = c.features.max_features
         na, nb = c.radar.num_azimuths, c.radar.padded_range_bins
-
-        # solver buckets (both fast + full), up to the expected active size
-        cap = min(expected_keyframes + chunk, c.pgo.max_nodes)
         g = self.graph.g
-        nbkt = 64
-        while True:
-            self._solve_fast(g, nbkt, max(self.graph.num_loops, 1))
-            self._solve_full(g, nbkt, max(self.graph.num_loops, 1))
-            if nbkt >= cap:
-                break
-            nbkt = min(2 * nbkt, cap)
-        self._last_pose_se2(g.poses, jnp.asarray(0, jnp.int32))
+
+        if full:
+            # solver buckets (fast + full), up to the expected active size
+            cap = min(expected_keyframes + chunk, c.pgo.max_nodes)
+            nbkt = 64
+            while True:
+                self._solve_fast(g, nbkt, max(self.graph.num_loops, 1))
+                self._solve_full(g, nbkt, max(self.graph.num_loops, 1))
+                if nbkt >= cap:
+                    break
+                nbkt = min(2 * nbkt, cap)
+            self._last_pose_se2(g.poses, jnp.asarray(0, jnp.int32))
         if self._sharded_detect is not None:
             return
 
@@ -1024,32 +1058,38 @@ class SlamEngine:
         Tp = 1
         while True:
             Tp = min(Tp, self._segment_bucket(chunk))
-            prog = self._kf_segment.get(Tp)
-            if prog is None:
-                prog = self._kf_segment[Tp] = _make_kf_segment(c, Tp)
-            prog(self.clouds, self.clouds_valid, self.bank, self.ring_keys,
-                 g, k0, zero, jnp.zeros(Tp, jnp.int32), xys, valids,
-                 jnp.zeros((Tp, 3), jnp.float32),
-                 jnp.zeros((Tp, 3), jnp.float32),
-                 jnp.zeros(Tp, bool), jnp.zeros(Tp, bool))
+            for det in ((True, False) if c.do_slam else (False,)):
+                key = (Tp, det)
+                prog = self._kf_segment.get(key)
+                if prog is None:
+                    prog = self._kf_segment[key] = _make_kf_segment(
+                        c, Tp, with_detect=det
+                    )
+                prog(self.clouds, self.clouds_valid, self.bank,
+                     self.ring_keys, g, k0, zero,
+                     jnp.zeros(Tp, jnp.int32), xys, valids,
+                     jnp.zeros((Tp, 3), jnp.float32),
+                     jnp.zeros((Tp, 3), jnp.float32),
+                     jnp.zeros(Tp, bool), jnp.zeros(Tp, bool))
             self._pack_decisions(*dummy_pair((Tp,)))
             if Tp >= self._segment_bucket(chunk):
                 break
             Tp *= 2
         self._pack_decisions(*dummy_pair(()))
-        if self.loop_debug_dir is not None:
+        if full and self.loop_debug_dir is not None:
             self._debug_submap(self.clouds, self.clouds_valid, g.poses,
                                jnp.asarray(0, jnp.int32),
                                jnp.asarray(1, jnp.int32), zero)
-        # per-keyframe fallback path (first keyframe, GPS attach, growth)
-        out = self._kf_step(self.clouds, self.clouds_valid, self.bank,
-                            self.ring_keys, g, k0, xys[0], valids[0],
-                            jnp.zeros(3, jnp.float32),
-                            jnp.zeros(3, jnp.float32),
-                            jnp.asarray(False), jnp.asarray(False))
+        if full:
+            # per-keyframe fallback path (first keyframe, GPS, growth)
+            self._kf_step(self.clouds, self.clouds_valid, self.bank,
+                          self.ring_keys, g, k0, xys[0], valids[0],
+                          jnp.zeros(3, jnp.float32),
+                          jnp.zeros(3, jnp.float32),
+                          jnp.asarray(False), jnp.asarray(False))
         # fence: compiles (and their cache loads) complete before returning,
         # so callers' timing cleanly separates warm-up from streaming
-        jax.device_get(out[-1])
+        jax.device_get(self._pack_decisions(*dummy_pair(())))
 
     @staticmethod
     def _segment_bucket(m: int) -> int:
@@ -1088,9 +1128,15 @@ class SlamEngine:
         for t in range(m, Tp):
             odo_arr[t] = prev_pose
             prev_arr[t] = prev_pose
-        prog = self._kf_segment.get(Tp)
+        # insert-only variant when no slot detects (do_slam off, the
+        # exclude-recent window, sparse cadences): under vmap the per-slot
+        # gate cannot skip work, so the skip is compiled out instead
+        key = (Tp, bool(ks_det))
+        prog = self._kf_segment.get(key)
         if prog is None:
-            prog = self._kf_segment[Tp] = _make_kf_segment(self.cfg, Tp)
+            prog = self._kf_segment[key] = _make_kf_segment(
+                self.cfg, Tp, with_detect=bool(ks_det)
+            )
         with self._stage("kf_segment"):
             (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
              self.graph.g, cands, ress, pose_dev) = prog(

@@ -125,11 +125,12 @@ def icp_se2(
         )
         dmse = jnp.abs(mse - prev_mse)
         mse_static = dmse < cfg.euclidean_fitness_eps
-        if cfg.rel_fitness_eps > 0:
+        if cfg.rel_fitness_eps > 0 and cfg.fitness_metric != "pcl":
             # relative plateau: NN-assignment oscillation at the optimum
             # keeps the step above epsilon while mse is static to ~0.1 %;
             # without this every verification exhausts max_iters (see
-            # IcpConfig.rel_fitness_eps)
+            # IcpConfig.rel_fitness_eps).  Disabled in fitness_metric="pcl"
+            # — the reference-parity mode keeps PCL's strict criteria only.
             mse_static = mse_static | (dmse < cfg.rel_fitness_eps * mse)
         return (new_pose, small | mse_static, it + 1, mse)
 
