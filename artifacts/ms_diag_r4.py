@@ -58,7 +58,6 @@ def cfg_base(cap=512):
         ),
         pgo=dataclasses.replace(
             c.pgo, max_nodes=cap, max_loop_edges=cap // 4,
-            max_gps_factors=cap,
             odom_sigma_rot=0.005, odom_sigma_trans=0.05,
         ),
     )

@@ -76,7 +76,7 @@ def bench_dist_pgo(d, per_device=1024, iters=5):
 
     N = per_device * d
     cfg = dataclasses.replace(
-        PgoConfig(), max_nodes=N, max_loop_edges=64, max_gps_factors=N,
+        PgoConfig(), max_nodes=N, max_loop_edges=64,
         gn_iters=1, cg_iters=16,
     )
     m = mesh_mod.make_mesh(d)

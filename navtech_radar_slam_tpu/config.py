@@ -169,10 +169,21 @@ class ScanContextConfig:
     num_exclude_recent: int = 30    # NUM_EXCLUDE_RECENT (h:92)
     num_candidates: int = 10        # NUM_CANDIDATES_FROM_TREE (h:93) is 3 on
     # 20-dim ring keys; batched search makes a larger candidate set free.
-    search_ratio: float = 0.1       # SEARCH_RATIO (h:96): ±10% column shifts
+    #: SEARCH_RATIO (h:96): in search_mode="ringkey" the column-shift search
+    #: is restricted to ± num_sector * search_ratio shifts around the
+    #: sector-key alignment (fastAlignUsingVkey + distanceBtnScanContext,
+    #: Scancontext.cpp:93-148).  <= 0 searches all shifts exhaustively (the
+    #: "full" mode always does — the whole shift axis is one matmul there).
+    search_ratio: float = 0.1
     sc_dist_thres: float = 0.45     # launch override (sc_pgo.launch:4)
-    #: reference rebuilds its KD-tree every 30 inserts (h:103); batched
-    #: search needs no rebuild — kept for the sharded ring-key prefilter.
+    #: reference rebuilds its KD-tree every 30 inserts (h:103, cpp:347-360),
+    #: so ring-key queries between rebuilds search a STALE candidate set.
+    #: search_mode="ringkey" reproduces that staleness deterministically:
+    #: the searchable bank is the largest multiple of this period <=
+    #: num_keyframes (staleness bound <= period inserts, same as the
+    #: reference; the schedule is keyframe-count- rather than
+    #: call-count-based).  <= 1 disables (always-fresh bank — what the
+    #: batched "full" search gives for free, no tree to rebuild).
     tree_making_period: int = 30
     #: loop-detection cadence in keyframes (reference: 1 Hz thread,
     #: laserPosegraphOptimization.cpp:575-585; radar keyframes ~4 Hz)
@@ -257,8 +268,11 @@ class PgoConfig:
     warm starts; normal equations solved by preconditioned CG so the solve
     is matvec-only (TPU-friendly, shardable)."""
 
-    # noise sigmas (stddev), matching reference variances:
-    prior_sigma: float = 1e-6           # variance 1e-12 (149-151)
+    # noise sigmas (stddev), matching reference variances.  The reference's
+    # node-0 prior (variance 1e-12, cpp:149-151) has no sigma knob here: it
+    # is realized as an EXACT gauge freeze (models/posegraph.residuals zeroes
+    # node 0's tangent update), which is the 1e-12-variance limit without the
+    # 1e6 whitening that would wreck f32 conditioning.
     odom_sigma_rot: float = 1e-3        # variance 1e-6 rad (153-156)
     odom_sigma_trans: float = 1e-2      # variance 1e-4 m
     loop_sigma: float = 0.5             # robustLoopNoise score 0.5 (158-163)
@@ -285,10 +299,12 @@ class PgoConfig:
     #: via prefix/suffix scans (information crosses the whole graph each CG
     #: iteration); "jacobi" is the diagonal fallback
     preconditioner: str = "chain"
-    #: graph capacities (padded static shapes)
+    #: graph capacities (padded static shapes).  GPS factors are stored
+    #: densely per node (one optional factor per keyframe, exactly the
+    #: reference's hasGPSforThisKF association, cpp:439-451), so their
+    #: capacity IS max_nodes — there is no separate gps capacity knob.
     max_nodes: int = 4096
     max_loop_edges: int = 1024
-    max_gps_factors: int = 4096
     #: GPS<->odom association window (laserPosegraphOptimization.cpp:439)
     gps_time_window: float = 0.1
     use_gps: bool = False
@@ -310,7 +326,11 @@ class ParallelConfig:
 
     bank_axis: str = "bank"
     mesh_shape: Tuple[int, ...] = (1,)
-    #: per-shard top-k loop candidates gathered before the global argmin
+    #: sharded ring-key prefilter width: with scancontext.search_mode=
+    #: "ringkey" each shard runs the full shift-correlation only on its
+    #: shard_top_k best ring-key candidates (the reference's KD-tree k=3
+    #: stage, Scancontext.cpp:367-374, done shard-locally); the global
+    #: candidate set is the union over shards
     shard_top_k: int = 4
 
 

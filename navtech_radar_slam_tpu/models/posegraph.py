@@ -425,7 +425,6 @@ class PoseGraph:
         old = self.g
         self.cfg = dataclasses.replace(
             self.cfg, max_nodes=new_max_nodes, max_loop_edges=new_max_loops,
-            max_gps_factors=new_max_nodes,
         )
         g = empty_graph(self.cfg)
         N0 = old.poses.shape[0]

@@ -478,7 +478,7 @@ class SlamEngine:
                 raise ValueError("max_keyframes must divide the mesh size")
             self._bank_sharding = mesh_mod.bank_sharding(mesh)
             self._sharded_detect = make_sharded_loop_detector(
-                mesh, c.scancontext
+                mesh, c.scancontext, shard_top_k=c.parallel.shard_top_k
             )
             # bucketed like the single-device path: per-keyframe refines run
             # on the active power-of-two prefix, not the full padded capacity
@@ -845,7 +845,6 @@ class SlamEngine:
             pgo=dataclasses.replace(
                 c.pgo, max_nodes=2 * c.pgo.max_nodes,
                 max_loop_edges=2 * c.pgo.max_loop_edges,
-                max_gps_factors=2 * c.pgo.max_nodes,
             ),
         )
         K = c.features.max_features

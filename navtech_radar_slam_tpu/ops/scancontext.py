@@ -91,27 +91,24 @@ def _normalize_columns(desc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return desc / jnp.maximum(norm, 1e-9), nz
 
 
-def sc_distance_all_shifts(
+def sc_shift_distance_matrix(
     query: jnp.ndarray, bank: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """distDirectSC under every circular column shift, batched over the bank.
+) -> jnp.ndarray:
+    """distDirectSC at EVERY circular column shift, batched over the bank.
 
-    query: (R, S); bank: (N, R, S).
-    Returns (dist (N,), argmin shift (N,)) where dist follows the reference's
-    definition: mean over columns (where both columns are non-zero) of
-    (1 - cosine similarity) (cpp:69-90), minimized over all S shifts
-    (the reference's vkey-align + ±10% search, done exhaustively)."""
-    R, S = query.shape
+    query: (R, S); bank: (N, R, S).  Returns the (N, S) distance matrix
+    where entry [n, z] is the reference's distance definition — mean over
+    columns (where both columns are non-zero) of (1 - cosine similarity)
+    (cpp:69-90) — with the query rolled by z columns."""
     # TPU: fused Pallas kernel (ops/pallas/sc_corr.py); elsewhere XLA einsum
     from navtech_radar_slam_tpu.ops.pallas import (
         sc_shift_distances_pallas, should_use_pallas,
     )
 
     if should_use_pallas():
-        dist = sc_shift_distances_pallas(query, bank)
-        # clamp f32 rounding: a perfect self-match can land at -1e-3
-        return jnp.maximum(jnp.min(dist, axis=-1), 0.0), jnp.argmin(dist, axis=-1)
+        return sc_shift_distances_pallas(query, bank)
 
+    S = query.shape[1]
     qn, qnz = _normalize_columns(query)
     bn, bnz = _normalize_columns(bank)
 
@@ -137,7 +134,55 @@ def sc_distance_all_shifts(
         preferred_element_type=jnp.float32,
     )
     dist = 1.0 - C / jnp.maximum(counts, 1.0)
-    dist = jnp.where(counts > 0, dist, 1.0)
+    return jnp.where(counts > 0, dist, 1.0)
+
+
+def sc_distance_all_shifts(
+    query: jnp.ndarray, bank: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best distance over ALL shifts (the reference's vkey-align + ±10%
+    search done exhaustively — the whole shift axis is one matmul here).
+
+    Returns (dist (N,), argmin shift (N,))."""
+    dist = sc_shift_distance_matrix(query, bank)
+    # clamp f32 rounding: a perfect self-match can land at -1e-3
+    return jnp.maximum(jnp.min(dist, axis=-1), 0.0), jnp.argmin(dist, axis=-1)
+
+
+def sc_distance_ratio_shifts(
+    query: jnp.ndarray, bank: jnp.ndarray, cfg: ScanContextConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best distance over the reference's RESTRICTED shift search: align by
+    sector key first (fastAlignUsingVkey, cpp:93-113), then search only
+    ± num_sector * search_ratio column shifts around that alignment
+    (distanceBtnScanContext, cpp:116-148; SEARCH_RATIO h:96).
+
+    The distances themselves come from the same batched all-shift matrix
+    (computing the matrix is one matmul — cheaper than a gather of a
+    ragged shift window); the restriction is an argmin mask, so the
+    RESULT matches the reference's two-stage search exactly."""
+    S = query.shape[1]
+    dist = sc_shift_distance_matrix(query, bank)           # (N, S)
+
+    # sector-key alignment: argmin_z || roll(vkey_q, z) - vkey_b ||
+    # via the correlation expansion (||a||² is shift-invariant)
+    vq = sector_key(query)                                  # (S,)
+    vb = jax.vmap(sector_key)(bank)                         # (N, S)
+    shifts = jnp.arange(S)
+    col_idx = jnp.mod(shifts[:, None] + shifts[None, :], S)  # (S_shift, S)
+    vq_rolled = vq[col_idx]                                 # (S_shift, S)
+    corr = jnp.einsum("zc,nc->nz", vq_rolled, vb,
+                      preferred_element_type=jnp.float32)
+    align = jnp.argmin(
+        jnp.sum(vb * vb, axis=-1)[:, None] - 2.0 * corr, axis=-1
+    )                                                       # (N,)
+
+    # SEARCH_RADIUS = round(0.5 * SEARCH_RATIO * num_sector) (cpp:122): ±3
+    # column shifts at the 0.1 / 60-sector defaults
+    radius = max(1, int(round(0.5 * cfg.search_ratio * S)))
+    circ = jnp.abs(jnp.mod(shifts[None, :] - align[:, None] + S // 2, S)
+                   - S // 2)                                # (N, S)
+    dist = jnp.where(circ <= radius, dist, jnp.inf)
     best_shift = jnp.argmin(dist, axis=-1)
     best_dist = jnp.maximum(jnp.min(dist, axis=-1), 0.0)
     return best_dist, best_shift
@@ -158,6 +203,24 @@ def ring_key_candidates(
     d2 = jnp.sum((bank_keys - query_key[None, :]) ** 2, axis=-1)
     neg_d2, idx = jax.lax.top_k(-d2, k)
     return idx, -neg_d2
+
+
+def ringkey_searchable_bound(num_valid, cfg: ScanContextConfig):
+    """Upper bound (exclusive) of bank indices the ring-key path may search.
+
+    Combines the recency exclusion (NUM_EXCLUDE_RECENT, h:92) with the
+    KD-tree staleness emulation: the reference builds the tree on its FIRST
+    detect call (counter 0, cpp:347) — i.e. at keyframe num_exclude_recent+1
+    when detection runs per keyframe — and every ``tree_making_period``
+    calls after (h:103); between rebuilds the candidate set is frozen at
+    the last rebuild's bank.  tree_making_period <= 1 means always fresh."""
+    bound = num_valid - cfg.num_exclude_recent
+    if cfg.tree_making_period > 1:
+        p = cfg.tree_making_period
+        e1 = cfg.num_exclude_recent + 1
+        v_last = e1 + (jnp.maximum(num_valid - e1, 0) // p) * p
+        bound = jnp.minimum(bound, v_last - cfg.num_exclude_recent)
+    return bound
 
 
 class LoopCandidate(NamedTuple):
@@ -202,20 +265,35 @@ def detect_loop_ringkey(
     cfg: ScanContextConfig,
 ) -> LoopCandidate:
     """Two-stage parity path: ring-key KNN prefilter (k = num_candidates)
-    then full shift-distance on candidates only — the reference's exact
-    pipeline (cpp:331-422), useful when the bank is sharded and the full
-    correlation would cross hosts."""
+    then shift-distance on candidates only — the reference's exact pipeline
+    (cpp:331-422), useful when the bank is sharded and the full correlation
+    would cross hosts.
+
+    Two reference-staleness knobs are honored here (and deliberately NOT in
+    the always-fresh, exhaustive "full" mode):
+
+      * ``tree_making_period``: the reference rebuilds its KD-tree every 30
+        inserts (h:103, cpp:347-360), so between rebuilds the candidate set
+        is stale.  Here the searchable bank is quantized to the largest
+        multiple of the period <= num_valid — the same <= period-insert
+        staleness bound on a deterministic (keyframe-count) schedule.
+      * ``search_ratio``: per-candidate column shifts are restricted to the
+        sector-key-aligned window (sc_distance_ratio_shifts, cpp:93-148)
+        instead of searched exhaustively."""
     N = bank_desc.shape[0]
     qkey = ring_key(query_desc)
     idx = jnp.arange(N)
-    searchable = idx < (num_valid - cfg.num_exclude_recent)
+    searchable = idx < ringkey_searchable_bound(num_valid, cfg)
     d2 = jnp.sum((bank_ring_keys - qkey[None, :]) ** 2, axis=-1)
     d2 = jnp.where(searchable, d2, jnp.inf)
     k = cfg.num_candidates
     _, cand = jax.lax.top_k(-d2, k)
 
     cand_desc = bank_desc[cand]                       # (k, R, S)
-    dist, shift = sc_distance_all_shifts(query_desc, cand_desc)
+    if cfg.search_ratio > 0:
+        dist, shift = sc_distance_ratio_shifts(query_desc, cand_desc, cfg)
+    else:
+        dist, shift = sc_distance_all_shifts(query_desc, cand_desc)
     cand_ok = jnp.isfinite(d2[cand])
     dist = jnp.where(cand_ok, dist, jnp.inf)
     j = jnp.argmin(dist)

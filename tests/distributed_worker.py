@@ -61,7 +61,7 @@ def pgo_cfg():
     from navtech_radar_slam_tpu.config import PgoConfig
 
     return dataclasses.replace(
-        PgoConfig(), max_nodes=64, max_loop_edges=8, max_gps_factors=64,
+        PgoConfig(), max_nodes=64, max_loop_edges=8,
         gn_iters=4, cg_iters=48, odom_sigma_rot=0.01, odom_sigma_trans=0.05,
     )
 

@@ -8,7 +8,7 @@ from navtech_radar_slam_tpu.models import posegraph as pg
 from navtech_radar_slam_tpu.utils import geometry as geo
 
 CFG = dataclasses.replace(
-    PgoConfig(), max_nodes=64, max_loop_edges=16, max_gps_factors=64,
+    PgoConfig(), max_nodes=64, max_loop_edges=16,
     gn_iters=10, cg_iters=100,
     # test-scale noise model: realistic radar-odometry sigmas rather than
     # the reference's near-rigid 1e-3/1e-2 (which make single-loop toy
@@ -142,7 +142,7 @@ def test_bucketed_solver_matches_full():
 
     from navtech_radar_slam_tpu.config import PgoConfig
     cfg = dataclasses.replace(
-        PgoConfig(), max_nodes=256, max_loop_edges=64, max_gps_factors=256,
+        PgoConfig(), max_nodes=256, max_loop_edges=64,
         gn_iters=4, cg_iters=32,
     )
     graph = pg.PoseGraph(cfg)

@@ -120,16 +120,77 @@ def test_detect_loop_excludes_recent(rng):
 
 
 def test_ringkey_mode_agrees_with_full(rng):
+    # tree_making_period=1: always-fresh bank, so the two-stage result must
+    # agree with the exhaustive search (the staleness emulation is tested
+    # separately below)
+    cfg = dataclasses.replace(CFG, tree_making_period=1)
     scenes = [random_cloud(np.random.default_rng(100 + i), n=400) for i in range(40)]
     descs = [desc_of(s) for s in scenes]
     query = desc_of(rotate(scenes[5], -0.4))
     bank = _make_bank(descs)
     keys = jnp.stack([sc.ring_key(jnp.asarray(d)) for d in descs] +
                      [jnp.zeros(CFG.num_ring)] * (64 - 40))
-    full = sc.detect_loop(query, bank, jnp.asarray(41), CFG)
-    two_stage = sc.detect_loop_ringkey(query, bank, keys, jnp.asarray(41), CFG)
+    full = sc.detect_loop(query, bank, jnp.asarray(41), cfg)
+    two_stage = sc.detect_loop_ringkey(query, bank, keys, jnp.asarray(41), cfg)
     assert bool(full.found) and bool(two_stage.found)
     assert int(full.idx) == int(two_stage.idx) == 5
+
+
+def test_ringkey_tree_staleness_bound():
+    """tree_making_period emulates the reference's KD-tree rebuild cadence
+    (Scancontext.h:103, cpp:347-360): a keyframe inserted after the last
+    rebuild is invisible to the ring-key search until the next rebuild."""
+    cfg = dataclasses.replace(CFG, num_exclude_recent=2, tree_making_period=4,
+                              num_candidates=3)
+    scenes = [random_cloud(np.random.default_rng(400 + i), n=400)
+              for i in range(10)]
+    descs = [desc_of(s) for s in scenes]
+    bank = _make_bank(descs, n_max=16)
+    keys = jnp.stack([sc.ring_key(jnp.asarray(d)) for d in descs] +
+                     [jnp.zeros(CFG.num_ring)] * 6)
+    query = desc_of(rotate(scenes[3], 0.3))
+
+    # first tree at num_valid = exclude+1 = 3 (searchable idx < 1), next
+    # rebuild at 7 (idx < 5): at num_valid 6 keyframe 3 is still invisible
+    res_stale = sc.detect_loop_ringkey(query, bank, keys, jnp.asarray(6), cfg)
+    assert not bool(res_stale.found) or int(res_stale.idx) != 3
+    res_fresh = sc.detect_loop_ringkey(query, bank, keys, jnp.asarray(7), cfg)
+    assert bool(res_fresh.found) and int(res_fresh.idx) == 3
+    # period 1 = always fresh: visible already at num_valid 6
+    cfg1 = dataclasses.replace(cfg, tree_making_period=1)
+    res1 = sc.detect_loop_ringkey(query, bank, keys, jnp.asarray(6), cfg1)
+    assert bool(res1.found) and int(res1.idx) == 3
+
+
+def test_search_ratio_restricts_shift_window():
+    """search_ratio wires the reference's sector-key-aligned ±10% shift
+    search (fastAlignUsingVkey + distanceBtnScanContext, cpp:93-148).
+
+    Column scaling is invisible to the column-normalized cosine distance
+    but steers the sector-key alignment, so a bank entry that matches at
+    shift 10 with a sector key aligned at shift 52 exposes the window: the
+    exhaustive search finds the match, the ratio-restricted search must
+    not."""
+    rng = np.random.default_rng(7)
+    q = rng.uniform(0.1, 1.0, size=(CFG.num_ring, CFG.num_sector)).astype(np.float32)
+    q[:, 5] *= 10.0                      # query's dominant sector-key column
+    b = np.roll(q, 10, axis=1)           # true match at shift 50 (q rolled +50)
+    b[:, 57] *= 10.0                     # drags vkey alignment to ~8
+
+    full_d, full_s = sc.sc_distance_all_shifts(jnp.asarray(q), jnp.asarray(b)[None])
+    assert float(full_d[0]) < 1e-5 and int(full_s[0]) == 50
+
+    ratio_d, ratio_s = sc.sc_distance_ratio_shifts(
+        jnp.asarray(q), jnp.asarray(b)[None], CFG
+    )
+    # restricted window (±3 around the vkey alignment) excludes shift 50
+    assert int(ratio_s[0]) != 50
+    assert float(ratio_d[0]) > float(full_d[0]) + 1e-3
+
+    # and when the alignment is honest (no scaling), ratio == full
+    b2 = np.roll(q, 10, axis=1)
+    rd, rs = sc.sc_distance_ratio_shifts(jnp.asarray(q), jnp.asarray(b2)[None], CFG)
+    assert float(rd[0]) < 1e-5 and int(rs[0]) == 50
 
 
 def test_between_sessions(rng):

@@ -31,7 +31,7 @@ def small_cfg():
             max_target_points=2048, max_iters=50,
         ),
         pgo=dataclasses.replace(
-            c.pgo, max_nodes=96, max_loop_edges=16, max_gps_factors=96,
+            c.pgo, max_nodes=96, max_loop_edges=16,
             gn_iters=6, cg_iters=50,
             odom_sigma_rot=0.005, odom_sigma_trans=0.05,
         ),
