@@ -67,8 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard bank + pose graph over the first N devices")
     p.add_argument("--chunk", type=int, default=0,
                    help="stream N scans per device dispatch (device-side "
-                        "lax.scan odometry; 0 = per-scan). Incompatible "
-                        "with --use_gps (per-scan association).")
+                        "lax.scan odometry; 0 = per-scan). GPS works in "
+                        "chunk mode too: fixes associate per keyframe "
+                        "timestamp inside the fused segments.")
     p.add_argument("--prewarm", type=_bool, default=True,
                    help="compile all streaming programs (solver buckets, "
                         "segment buckets, packers) before the first scan — "
@@ -293,8 +294,11 @@ def main(argv=None) -> int:
 
     chunk = max(0, args.chunk)
     if chunk > 1 and gps is not None:
-        print("--chunk disabled: GPS association is per-scan", file=sys.stderr)
-        chunk = 0
+        # chunk-mode GPS: the engine associates fixes per KEYFRAME timestamp
+        # inside the fused segments (reference full-rate association,
+        # laserPosegraphOptimization.cpp:439-451) — no need to fall back to
+        # per-scan streaming
+        eng.set_gps_table(*gps)
 
     live = LiveOutputs(args.output_dir, cfg, eng) if args.live else None
 
@@ -314,7 +318,7 @@ def main(argv=None) -> int:
             warm["processed"] = processed
 
     if chunk > 1:
-        if args.prewarm and args.mesh <= 1:
+        if args.prewarm:
             tp = time.time()
             exp = min(total, eng.cfg.keyframes.max_keyframes)
             eng.prewarm(exp, chunk, per_scan_azimuths=True)

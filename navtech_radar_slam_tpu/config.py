@@ -367,7 +367,23 @@ class SlamConfig:
             v = d[f.name]
             if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
                 sub_cls = _SUBCONFIGS[f.name]
-                v = sub_cls(**{k: tuple(x) if isinstance(x, list) else x for k, x in v.items()})
+                known = {sf.name for sf in dataclasses.fields(sub_cls)}
+                unknown = set(v) - known
+                if unknown:
+                    # configs/checkpoints written by older versions may carry
+                    # knobs that were since removed (e.g. pgo.prior_sigma,
+                    # pgo.max_gps_factors); ignore them rather than refusing
+                    # to load the whole file, but say so
+                    import warnings
+
+                    warnings.warn(
+                        f"config: ignoring unknown {f.name} field(s) "
+                        f"{sorted(unknown)}", stacklevel=2,
+                    )
+                v = sub_cls(**{
+                    k: tuple(x) if isinstance(x, list) else x
+                    for k, x in v.items() if k in known
+                })
             kwargs[f.name] = v
         return cls(**kwargs)
 

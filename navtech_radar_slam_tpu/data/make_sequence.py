@@ -70,8 +70,17 @@ def write_sequence(
     sim_cfg: SimConfig = None,
     progress: bool = False,
     start_stamp_us: int = START_STAMP_US,
+    gps: bool = False,
+    gps_rate_hz: float = 10.0,
+    gps_alt0: float = 70.0,
 ) -> np.ndarray:
-    """Render + write the sequence; returns the (N, 3) ground-truth poses."""
+    """Render + write the sequence; returns the (N, 3) ground-truth poses.
+
+    ``gps=True`` additionally writes a MulRan-format gps.csv (stamp_ns,
+    lat, lon, alt — the reference consumes altitude only,
+    laserPosegraphOptimization.cpp:526-533) at ``gps_rate_hz`` with
+    ABSOLUTE altitudes around ``gps_alt0`` (the engine must latch the
+    datum; a flat-zero stream would hide datum bugs)."""
     import cv2
 
     rc = RadarConfig()
@@ -105,6 +114,18 @@ def write_sequence(
 
     np.savetxt(os.path.join(out_dir, "global_pose.csv"),
                np.asarray(rows), delimiter=",")
+    if gps:
+        duration = num_scans * period
+        n_fix = int(duration * gps_rate_hz)
+        rng = np.random.default_rng(seed + 7)
+        g_rows = []
+        for j in range(n_fix):
+            t_s = j / gps_rate_hz + 0.013      # offset off the scan stamps
+            stamp_ns = (start_stamp_us + round(t_s * 1e6)) * 1000
+            alt = gps_alt0 + 0.2 * np.sin(t_s / 30.0) + rng.normal(0, 0.05)
+            g_rows.append([stamp_ns, 37.0, 127.0, alt])
+        np.savetxt(os.path.join(out_dir, "gps.csv"), np.asarray(g_rows),
+                   delimiter=",", fmt=["%d", "%.7f", "%.7f", "%.4f"])
     return gt[:num_scans]
 
 
@@ -131,6 +152,9 @@ def main(argv=None) -> int:
     p.add_argument("--stamp_offset_s", type=float, default=0.0,
                    help="offset the first scan's timestamp (distinct "
                         "sessions over one world need distinct stamps)")
+    p.add_argument("--gps", action="store_true",
+                   help="also write a MulRan-format gps.csv (absolute "
+                        "altitudes ~70 m at 10 Hz)")
     args = p.parse_args(argv)
 
     gt = write_sequence(
@@ -138,6 +162,7 @@ def main(argv=None) -> int:
         dropouts=args.dropout, distort=not args.no_distort, seed=args.seed,
         progress=True,
         start_stamp_us=START_STAMP_US + round(args.stamp_offset_s * 1e6),
+        gps=args.gps,
     )
     laps = args.speed * args.scans / (4.0 * 2 * np.pi * args.radius)
     print(f"wrote {args.scans} scans ({laps:.2f} laps of r={args.radius} m) "

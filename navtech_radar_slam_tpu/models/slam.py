@@ -35,6 +35,7 @@ Over a high-latency link this hides a full round-trip per keyframe."""
 
 from __future__ import annotations
 
+import collections
 import contextlib
 import dataclasses
 from typing import List, NamedTuple, Optional, Tuple
@@ -313,7 +314,8 @@ def _make_kf_step(cfg: SlamConfig):
     return jax.jit(fn)
 
 
-def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True):
+def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True,
+                     mesh=None):
     """ONE jitted program advancing a whole SEGMENT of up to T keyframes —
     batched inserts, then BATCHED (vmapped) detection + ICP verification.
 
@@ -355,11 +357,36 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True):
     Segmenting (host side, SlamEngine._process_keyframes) preserves EXACT
     per-scan semantics: a segment never crosses a deferred-drain boundary,
     a capacity-growth point, a GPS attach, or a keyframe that needs an
-    in-line fast refine — those keyframes take the per-keyframe path."""
+    in-line fast refine — those keyframes take the per-keyframe path.
+
+    ``mesh`` (a jax.sharding.Mesh with size > 1) compiles the MESH-SHARDED
+    variant of the same program (VERDICT r4 next #1 — the multi-chip
+    deployment shape, BASELINE configs 4-5, must ride the same streaming
+    fast path as one chip): the insert phase is identical (the
+    dynamic_update_slice lands on the owning shard under GSPMD, with
+    explicit sharding constraints so the bank and the node-axis factor
+    arrays never silently reshard), and the detection phase swaps the
+    replicated whole-bank vmap for ONE shard_map batched search
+    (parallel.sharded_bank._local_search: every shard correlates the
+    segment's T queries against its local bank slice, one tiny all_gather
+    reduces the global best per query).  Verification then runs on the
+    replicated clouds exactly as single-device.  Still ONE dispatch per
+    segment — the round-trip structure that took the single-chip headline
+    from 2.5 to 16.7 scans/s now covers the sharded engine too."""
     vox = cfg.keyframes.keyframe_voxel_size
+    if mesh is not None:
+        from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
+        from navtech_radar_slam_tpu.parallel import sharded_bank as sb
+
+        bank_sh = mesh_mod.bank_sharding(mesh)
+        sharded_search = sb._make_search(
+            mesh, cfg.scancontext, mesh_mod.BANK_AXIS,
+            cfg.parallel.shard_top_k,
+        )
 
     def fn(clouds, clouds_valid, bank, ring_keys, g, k0, n_slots, sel,
-           xys, valids, odo_poses, prev_odos, has_odoms, do_detects):
+           xys, valids, odo_poses, prev_odos, has_odoms, do_detects,
+           gps_alts, gps_has):
         del do_detects   # host-side gate: non-detect slots are never read
         K = xys.shape[1]
         active = jnp.arange(T, dtype=jnp.int32) < n_slots
@@ -380,6 +407,10 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True):
                                                     (k0, 0))
         bank = jax.lax.dynamic_update_slice(bank, descs, (k0, 0, 0))
         ring_keys = jax.lax.dynamic_update_slice(ring_keys, rkeys, (k0, 0))
+        if mesh is not None:
+            # keep the bank on its keyframe-axis sharding through the
+            # scatter (GSPMD would otherwise be free to gather it)
+            bank = jax.lax.with_sharding_constraint(bank, bank_sh)
 
         # graph rows: odometry Between measurements + chained pose inits
         # (init_t = init_{t-1} o meas_t; slot 0 chains off the last
@@ -397,15 +428,61 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True):
         prev0 = g.poses[jnp.maximum(k0 - 1, 0)]
         _, inits = jax.lax.scan(chain, prev0, (meas, pose_abs, has_odoms))
         eye = jnp.broadcast_to(jnp.eye(4, dtype=meas.dtype), meas.shape)
+        odom_meas_new = jax.lax.dynamic_update_slice(
+            g.odom_meas, jnp.where(has_odoms[:, None, None], meas, eye),
+            (k0, 0, 0),
+        )
+        odom_valid_new = jax.lax.dynamic_update_slice(
+            g.odom_valid, has_odoms, (k0,)
+        )
+        if mesh is not None:
+            odom_meas_new = jax.lax.with_sharding_constraint(
+                odom_meas_new, bank_sh
+            )
+            odom_valid_new = jax.lax.with_sharding_constraint(
+                odom_valid_new, bank_sh
+            )
+        # GPS factors, per keyframe (VERDICT r4 next #3 — the reference
+        # associates GPS per keyframe at full rate, cpp:439-451; the factor
+        # xy comes from the LAST optimized estimate, cpp:472-475, 526-533:
+        # recentOptimizedX/Y, i.e. the PREVIOUS node's pose).  The per-scan
+        # path reads the same thing (_pose_estimate() still holds keyframe
+        # k-1's pose at attach time), so the device-side factor here uses
+        # the shifted chain — slot t takes slot t-1's init, slot 0 the last
+        # pre-segment optimized pose — and stays bit-identical with
+        # _add_keyframe's host-fetched one.  ``gps_alts`` arrive
+        # datum-relative (host latches the first fix's altitude).  Non-GPS
+        # slots keep their existing rows (masked where) so state stays
+        # bit-identical with the per-scan path.
+        T3 = (T, 3)
+        cur_gps = jax.lax.dynamic_slice(g.gps_meas, (k0, 0), T3)
+        prev_xys = jnp.concatenate(
+            [prev0[None, :2, 3], inits[:-1, :2, 3]], axis=0
+        )                                               # (T, 2)
+        gps_rows = jnp.concatenate(
+            [prev_xys, gps_alts[:, None]], axis=1
+        ).astype(g.gps_meas.dtype)
+        gps_rows = jnp.where(gps_has[:, None], gps_rows, cur_gps)
+        gps_meas_new = jax.lax.dynamic_update_slice(
+            g.gps_meas, gps_rows, (k0, 0)
+        )
+        cur_gv = jax.lax.dynamic_slice(g.gps_valid, (k0,), (T,))
+        gps_valid_new = jax.lax.dynamic_update_slice(
+            g.gps_valid, gps_has | cur_gv, (k0,)
+        )
+        if mesh is not None:
+            gps_meas_new = jax.lax.with_sharding_constraint(
+                gps_meas_new, bank_sh
+            )
+            gps_valid_new = jax.lax.with_sharding_constraint(
+                gps_valid_new, bank_sh
+            )
         g = g._replace(
             poses=jax.lax.dynamic_update_slice(g.poses, inits, (k0, 0, 0)),
-            odom_meas=jax.lax.dynamic_update_slice(
-                g.odom_meas, jnp.where(has_odoms[:, None, None], meas, eye),
-                (k0, 0, 0),
-            ),
-            odom_valid=jax.lax.dynamic_update_slice(
-                g.odom_valid, has_odoms, (k0,)
-            ),
+            odom_meas=odom_meas_new,
+            odom_valid=odom_valid_new,
+            gps_meas=gps_meas_new,
+            gps_valid=gps_valid_new,
             num_nodes=(k0 + n_slots).astype(jnp.int32),
         )
 
@@ -415,19 +492,32 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True):
             poses_se2 = geo.se3_to_se2(g.poses)
             num_kfs = (k0 + 1 + jnp.arange(T)).astype(jnp.int32)
 
-            def detect_one(desc, xy, valid, num_kf):
-                if cfg.scancontext.search_mode == "ringkey":
-                    cand = sc_ops.detect_loop_ringkey(
-                        desc, bank, ring_keys, num_kf, cfg.scancontext
-                    )
-                else:
-                    cand = sc_ops.detect_loop(desc, bank, num_kf,
-                                              cfg.scancontext)
-                res = _verify_candidate(cand, clouds, clouds_valid,
-                                        poses_se2, xy, valid, num_kf, cfg)
-                return cand, res
+            if mesh is not None:
+                # ONE shard_map search for the whole segment's queries
+                # against the sharded bank (per-query cost flat in bank
+                # size); verification on the replicated clouds below
+                best = sharded_search(descs, bank, num_kfs)      # (T, 3)
+                cands = sb._to_candidate(best, cfg.scancontext)
+                ress = jax.vmap(
+                    lambda cand, xy, valid, num_kf: _verify_candidate(
+                        cand, clouds, clouds_valid, poses_se2, xy, valid,
+                        num_kf, cfg)
+                )(cands, q_xy, q_valid, num_kfs)
+            else:
+                def detect_one(desc, xy, valid, num_kf):
+                    if cfg.scancontext.search_mode == "ringkey":
+                        cand = sc_ops.detect_loop_ringkey(
+                            desc, bank, ring_keys, num_kf, cfg.scancontext
+                        )
+                    else:
+                        cand = sc_ops.detect_loop(desc, bank, num_kf,
+                                                  cfg.scancontext)
+                    res = _verify_candidate(cand, clouds, clouds_valid,
+                                            poses_se2, xy, valid, num_kf, cfg)
+                    return cand, res
 
-            cands, ress = jax.vmap(detect_one)(descs, q_xy, q_valid, num_kfs)
+                cands, ress = jax.vmap(detect_one)(descs, q_xy, q_valid,
+                                                   num_kfs)
         else:
             cands, ress = _empty_candidate((T,)), _empty_icp_result((T,))
         last_pose = geo.se3_to_se2(g.poses[k0 + n_slots - 1])
@@ -512,6 +602,12 @@ class SlamEngine:
         #: records the per-scan budget split (odometry dispatch, keyframe
         #: step, loop fetch, PGO refine, map/path renders) the CLI reports
         self.timers = None
+        #: device-program dispatch counter by site name.  Over a tunneled
+        #: backend every dispatch is a host<->device round trip, so this IS
+        #: the latency budget; tests use it to pin the mesh-sharded
+        #: streaming path to the same round-trip structure as single-device
+        #: (VERDICT r4 next #1 "measured dispatch-count comparison")
+        self.dispatch_counts = collections.Counter()
         #: jitted whole-map render, cached per (capacity, stride)
         self._map_render = {}
         self.num_keyframes = 0
@@ -525,6 +621,9 @@ class SlamEngine:
         self.num_scans = 0
         self._kf_pending_since_loop = 0
         self._pending_gps: Optional[np.ndarray] = None
+        #: (times, alts) stream for chunk-mode per-keyframe association
+        #: (set_gps_table); None = use the per-scan add_gps() handshake
+        self._gps_table: Optional[Tuple[np.ndarray, np.ndarray]] = None
         #: first GPS-bearing keyframe's altitude, latched as the datum —
         #: the reference's gpsAltitudeInitOffset
         #: (laserPosegraphOptimization.cpp:472-475); factors constrain
@@ -705,6 +804,33 @@ class SlamEngine:
         cpp:472-475, 526-533)."""
         self._pending_gps = np.asarray(xyz, np.float64)
 
+    def set_gps_table(self, times: np.ndarray, alts: np.ndarray):
+        """Register the whole run's GPS stream for STREAMING (chunk) mode:
+        process_chunk associates each keyframe's timestamp with the stream
+        inside pgo.gps_time_window — the reference's full-rate per-keyframe
+        association (laserPosegraphOptimization.cpp:439-451) without leaving
+        the fused-segment fast path (the factors are written device-side in
+        _make_kf_segment, bit-identical to the per-scan add_gps() path).
+
+        ``times`` must be ascending; ``alts`` are ABSOLUTE altitudes (the
+        first associated fix latches the datum, as in add_gps)."""
+        self._gps_table = (
+            np.asarray(times, np.float64), np.asarray(alts, np.float64)
+        )
+
+    def _associate_gps(self, ts: float) -> Optional[float]:
+        """First fix within gps_time_window of ``ts`` (checking the
+        neighbors of the insertion point, matching the CLI's per-scan
+        association order), or None."""
+        times, alts = self._gps_table
+        j = int(np.searchsorted(times, ts))
+        for cand in (j - 1, j):
+            if 0 <= cand < len(times) and (
+                abs(times[cand] - ts) < self.cfg.pgo.gps_time_window
+            ):
+                return float(alts[cand])
+        return None
+
     def process(self, power, azimuths=None, timestamp: float = 0.0) -> np.ndarray:
         """Feed one polar scan; returns the current optimized pose [x,y,th]."""
         c = self.cfg
@@ -746,11 +872,12 @@ class SlamEngine:
         (measured ~0.8 s/chunk of pipeline stall over the tunnel).  Call
         current_pose() (drains + fetches) when a pose is needed.
 
-        GPS caveat: add_gps() associates a fix with the NEXT keyframe; in
-        chunk mode that is the first keyframe created anywhere in the chunk,
-        a coarser association than the per-scan path provides (the CLI
-        guards --chunk against --use_gps for this reason; warned here so the
-        engine API does not silently mis-associate)."""
+        GPS: register the stream with set_gps_table() — each keyframe is
+        associated per its own timestamp within pgo.gps_time_window (the
+        reference's full-rate association, cpp:439-451) and the factors are
+        written inside the fused segment program, bit-identical to the
+        per-scan path.  The add_gps() handshake still works but attaches
+        only to the FIRST keyframe of the chunk (warned below)."""
         from navtech_radar_slam_tpu.models import odometry as odo_mod
 
         if self._pending_gps is not None and self.cfg.pgo.use_gps:
@@ -788,6 +915,7 @@ class SlamEngine:
         if seeded:
             odo.prev = odo._extract(powers[0], az[0] if az.ndim == 2 else az)
 
+        self.dispatch_counts["odometry_seq"] += 1
         with self._stage("odometry_seq"):
             (odo.prev, _, coast_dev, rels, oks, _, xys, valids) = self._seq(
                 powers, az, odo.prev,
@@ -795,6 +923,7 @@ class SlamEngine:
                 jnp.asarray(odo._coast, jnp.int32),
             )
             # one packed fetch (one tunnel round trip, not one per leaf)
+            self.dispatch_counts["pack_odo_fetch"] += 1
             p = jax.device_get(self._pack_odo(rels, oks, coast_dev))
         rels_h = np.asarray(p[:3 * S].reshape(S, 3), np.float64)
         oks_h = p[3 * S:4 * S] > 0.5
@@ -828,7 +957,18 @@ class SlamEngine:
                 self.movement_accum = 0.0
         odo._coast = int(coast_h)
         if kfs:
-            self._process_keyframes(kfs, xys, valids)
+            gps_alts = None
+            if self._gps_table is not None and c.pgo.use_gps:
+                # per-keyframe association + datum latch, in keyframe order
+                # (ABSOLUTE altitudes; consumers subtract the datum exactly
+                # like the per-scan path, so factors stay bit-identical)
+                gps_alts = []
+                for (_, _, ts) in kfs:
+                    alt = self._associate_gps(ts)
+                    if alt is not None and self.gps_alt_offset is None:
+                        self.gps_alt_offset = alt
+                    gps_alts.append(alt)
+            self._process_keyframes(kfs, xys, valids, gps_alts)
         return None
 
     # -- keyframe path ------------------------------------------------------
@@ -888,16 +1028,17 @@ class SlamEngine:
         self._kf_segment = {}   # shape-dependent: rebuilt lazily per T
         self._debug_submap = self._make_debug_submap()
 
-    def _process_keyframes(self, kfs, xys, valids):
+    def _process_keyframes(self, kfs, xys, valids, gps_alts=None):
         """Process a chunk's keyframes with as few device dispatches as
         possible: greedily batch consecutive keyframes into ONE
         _make_kf_segment dispatch (a lax.scan over the keyframe path),
         falling back to the per-keyframe _add_keyframe path exactly where
         the fused program cannot reproduce per-scan semantics — deferred
-        drains, capacity growth, GPS attach, in-line fast refines, and the
-        mesh-sharded engine (whose detection runs as a separate sharded
-        program).  Produces bit-identical state to calling _add_keyframe
-        once per keyframe; only the host<->device round-trip count changes
+        drains, capacity growth, legacy add_gps() attaches, and in-line
+        fast refines.  Mesh-sharded engines take the same fused path (the
+        segment programs are their sharded variants, VERDICT r4 next #1).
+        Produces bit-identical state to calling _add_keyframe once per
+        keyframe; only the host<->device round-trip count changes
         (VERDICT r3 next #1: the r3 headline was bounded by one dispatch
         per keyframe, not by chip compute).
 
@@ -905,6 +1046,9 @@ class SlamEngine:
         ``valids`` are the chunk's (S, K, 2)/(S, K) device-resident feature
         arrays from make_odometry_sequence — slot selection happens inside
         the segment program, so feature clouds never take a host round trip.
+        ``gps_alts`` (parallel to kfs; ABSOLUTE altitude or None per
+        keyframe) carries chunk-mode GPS: fused segments write the factors
+        device-side; fallback keyframes route theirs through add_gps().
         """
         idx, n = 0, len(kfs)
         while idx < n:
@@ -913,17 +1057,15 @@ class SlamEngine:
             # route the rest of the chunk through the per-keyframe path
             c = self.cfg
             det_n = c.scancontext.detect_every_n_keyframes
-            fused_ok = (
-                self._sharded_detect is None
-                and not (self._pending_gps is not None and c.pgo.use_gps)
-            )
+            fused_ok = not (self._pending_gps is not None and c.pgo.use_gps)
             i, odo_pose, ts = kfs[idx]
             if not fused_ok:
-                # per-keyframe path (mesh engine, or the one GPS-bearing
-                # keyframe); fused_ok is re-evaluated next iteration
+                # per-keyframe path (the one GPS-bearing keyframe);
+                # fused_ok is re-evaluated next iteration
                 self._add_keyframe(odo_pose, xys[i], valids[i], ts)
                 idx += 1
                 continue
+            has_gps_here = gps_alts is not None and gps_alts[idx] is not None
             # grow the segment until per-scan semantics require a host step
             t_max = self._segment_bucket(n - idx)
             seg = []   # (kfs index, do_detect)
@@ -962,10 +1104,14 @@ class SlamEngine:
                     # then retry the fused segment from this keyframe
                     self._flush_pending_loop()
                     continue
+                if has_gps_here:
+                    # table-associated fix for a fallback keyframe: reuse
+                    # the per-scan attach (datum already latched)
+                    self.add_gps(np.array([0.0, 0.0, gps_alts[idx]]))
                 self._add_keyframe(odo_pose, xys[i], valids[i], ts)
                 idx += 1
                 continue
-            self._dispatch_segment(seg, kfs, xys, valids)
+            self._dispatch_segment(seg, kfs, xys, valids, gps_alts)
             idx += len(seg)
 
     def prewarm(self, expected_keyframes: int, chunk: int = 16,
@@ -992,9 +1138,9 @@ class SlamEngine:
         chunk-size-dependent programs (odometry sequence, segment buckets,
         packers) — for a second call covering a sequence's partial LAST
         chunk, whose shapes are distinct but whose solvers/fallbacks are
-        already warm.  No-op for the mesh-sharded engine beyond the solvers
-        (its detection runs per-keyframe through separately compiled
-        sharded programs)."""
+        already warm.  Mesh-sharded engines warm the same set (their
+        segment programs are the sharded variants) plus the per-keyframe
+        sharded fallback (insert / detect / verify)."""
         from navtech_radar_slam_tpu.models import odometry as odo_mod
 
         c = self.cfg
@@ -1013,8 +1159,6 @@ class SlamEngine:
                     break
                 nbkt = min(2 * nbkt, cap)
             self._last_pose_se2(g.poses, jnp.asarray(0, jnp.int32))
-        if self._sharded_detect is not None:
-            return
 
         # odometry: extraction seed + the S-scan sequence program.
         # per_scan_azimuths compiles the (S, NA) azimuth variant the CLI
@@ -1058,18 +1202,14 @@ class SlamEngine:
         while True:
             Tp = min(Tp, self._segment_bucket(chunk))
             for det in ((True, False) if c.do_slam else (False,)):
-                key = (Tp, det)
-                prog = self._kf_segment.get(key)
-                if prog is None:
-                    prog = self._kf_segment[key] = _make_kf_segment(
-                        c, Tp, with_detect=det
-                    )
+                prog = self._get_segment(Tp, det)
                 prog(self.clouds, self.clouds_valid, self.bank,
                      self.ring_keys, g, k0, zero,
                      jnp.zeros(Tp, jnp.int32), xys, valids,
                      jnp.zeros((Tp, 3), jnp.float32),
                      jnp.zeros((Tp, 3), jnp.float32),
-                     jnp.zeros(Tp, bool), jnp.zeros(Tp, bool))
+                     jnp.zeros(Tp, bool), jnp.zeros(Tp, bool),
+                     jnp.zeros(Tp, jnp.float32), jnp.zeros(Tp, bool))
             self._pack_decisions(*dummy_pair((Tp,)))
             if Tp >= self._segment_bucket(chunk):
                 break
@@ -1081,11 +1221,25 @@ class SlamEngine:
                                jnp.asarray(1, jnp.int32), zero)
         if full:
             # per-keyframe fallback path (first keyframe, GPS, growth)
-            self._kf_step(self.clouds, self.clouds_valid, self.bank,
-                          self.ring_keys, g, k0, xys[0], valids[0],
-                          jnp.zeros(3, jnp.float32),
-                          jnp.zeros(3, jnp.float32),
-                          jnp.asarray(False), jnp.asarray(False))
+            if self._sharded_detect is None:
+                self._kf_step(self.clouds, self.clouds_valid, self.bank,
+                              self.ring_keys, g, k0, xys[0], valids[0],
+                              jnp.zeros(3, jnp.float32),
+                              jnp.zeros(3, jnp.float32),
+                              jnp.asarray(False), jnp.asarray(False))
+            else:
+                v = self._voxel_mask(xys[0], valids[0])
+                d = self._make_desc(xys[0], v)
+                self._kf_insert(self.clouds, self.clouds_valid, self.bank,
+                                self.ring_keys, g, k0, xys[0], v, d,
+                                jnp.zeros(3, jnp.float32),
+                                jnp.zeros(3, jnp.float32),
+                                jnp.asarray(False))
+                cand0 = self._sharded_detect(d, self.bank,
+                                             jnp.asarray(1, jnp.int32))
+                self._verify_pipeline(cand0, self.clouds, self.clouds_valid,
+                                      g.poses, xys[0], v,
+                                      jnp.asarray(1, jnp.int32))
         # fence: compiles (and their cache loads) complete before returning,
         # so callers' timing cleanly separates warm-up from streaming
         jax.device_get(self._pack_decisions(*dummy_pair(())))
@@ -1097,7 +1251,19 @@ class SlamEngine:
         slots are masked inside the program."""
         return min(16, 1 << (max(m, 1) - 1).bit_length())
 
-    def _dispatch_segment(self, seg, kfs, xys, valids):
+    def _get_segment(self, Tp: int, with_detect: bool):
+        """Fetch-or-compile the (Tp, with_detect) keyframe-segment program —
+        the mesh-sharded variant when this engine shards its bank."""
+        key = (Tp, with_detect)
+        prog = self._kf_segment.get(key)
+        if prog is None:
+            prog = self._kf_segment[key] = _make_kf_segment(
+                self.cfg, Tp, with_detect=with_detect,
+                mesh=self.mesh if self._sharded_detect is not None else None,
+            )
+        return prog
+
+    def _dispatch_segment(self, seg, kfs, xys, valids, gps_alts=None):
         """ONE fused device dispatch for `seg` consecutive keyframes, plus
         the host bookkeeping _add_keyframe would have done per keyframe."""
         m = len(seg)
@@ -1108,6 +1274,8 @@ class SlamEngine:
         prev_arr = np.zeros((Tp, 3), np.float32)
         has = np.zeros(Tp, bool)
         dets = np.zeros(Tp, bool)
+        gps_arr = np.zeros(Tp, np.float32)
+        gps_has = np.zeros(Tp, bool)
         prev_pose = self.last_kf_pose
         ks_det, slots_det = [], []
         for t, (j, do_det) in enumerate(seg):
@@ -1117,6 +1285,13 @@ class SlamEngine:
             prev_arr[t] = prev_pose
             has[t] = not (k0 + t == 0 or k0 + t == self.session_start)
             dets[t] = do_det
+            if (gps_alts is not None and gps_alts[j] is not None
+                    and k0 + t > 0):
+                # node-0 carries no GPS factor (reference adds GPSFactor only
+                # in the consecutive-node branch, cpp:511-533); the datum was
+                # latched at association time
+                gps_arr[t] = np.float64(gps_alts[j]) - self.gps_alt_offset
+                gps_has[t] = True
             if do_det:
                 ks_det.append(k0 + t)
                 slots_det.append(t)
@@ -1130,12 +1305,8 @@ class SlamEngine:
         # insert-only variant when no slot detects (do_slam off, the
         # exclude-recent window, sparse cadences): under vmap the per-slot
         # gate cannot skip work, so the skip is compiled out instead
-        key = (Tp, bool(ks_det))
-        prog = self._kf_segment.get(key)
-        if prog is None:
-            prog = self._kf_segment[key] = _make_kf_segment(
-                self.cfg, Tp, with_detect=bool(ks_det)
-            )
+        prog = self._get_segment(Tp, bool(ks_det))
+        self.dispatch_counts["kf_segment"] += 1
         with self._stage("kf_segment"):
             (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
              self.graph.g, cands, ress, pose_dev) = prog(
@@ -1144,6 +1315,7 @@ class SlamEngine:
                 jnp.asarray(m, jnp.int32), jnp.asarray(sel),
                 xys, valids, jnp.asarray(odo_arr), jnp.asarray(prev_arr),
                 jnp.asarray(has), jnp.asarray(dets),
+                jnp.asarray(gps_arr), jnp.asarray(gps_has),
             )
         self.num_keyframes = k0 + m
         self.graph.num_nodes = k0 + m
@@ -1189,6 +1361,7 @@ class SlamEngine:
             # mesh path: insert + desc separately; detection runs sharded.
             # Same keyframe voxel filter the fused single-device step applies
             # (banks must stay bit-identical across the two paths).
+            self.dispatch_counts["kf_insert_split"] += 3
             valid = self._voxel_mask(xy, valid)
             desc = self._make_desc(xy, valid)
             (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
@@ -1205,6 +1378,7 @@ class SlamEngine:
         else:
             # single-device path: the whole keyframe step is ONE dispatch
             # (descriptor + inserts + gated loop detect/verify + pose slice)
+            self.dispatch_counts["kf_step"] += 1
             with self._stage("kf_step"):
                 (self.clouds, self.clouds_valid, self.bank, self.ring_keys,
                  self.graph.g, desc, cand, res, pose_dev) = self._kf_step(
@@ -1227,10 +1401,14 @@ class SlamEngine:
             fix = self._pending_gps
             if self.gps_alt_offset is None:
                 self.gps_alt_offset = float(fix[2])
-            xy_est = self._pose_estimate()[:2] if k > 0 else np.zeros(2)
-            self.graph.add_gps(k, np.array([
-                xy_est[0], xy_est[1], float(fix[2]) - self.gps_alt_offset
-            ]))
+            if k > 0:
+                # node 0 carries no GPS factor (the reference adds GPSFactor
+                # only in the consecutive-node branch, cpp:511-533; node 0 is
+                # the gauge prior) — the datum latch above still happens
+                xy_est = self._pose_estimate()[:2]
+                self.graph.add_gps(k, np.array([
+                    xy_est[0], xy_est[1], float(fix[2]) - self.gps_alt_offset
+                ]))
             self._pending_gps = None
         self.num_keyframes = k + 1
 
@@ -1238,9 +1416,11 @@ class SlamEngine:
         if c.do_slam:
             if do_detect:
                 if self._sharded_detect is not None:
+                    self.dispatch_counts["sharded_detect"] += 1
                     cand = self._sharded_detect(
                         desc, self.bank, jnp.asarray(k + 1, jnp.int32)
                     )
+                    self.dispatch_counts["verify"] += 1
                     res = self._verify_pipeline(
                         cand, self.clouds, self.clouds_valid,
                         self.graph.g.poses, xy, valid,
@@ -1263,6 +1443,7 @@ class SlamEngine:
         # collapses one ~26 ms round-trip per keyframe into one per
         # current_pose() consumer (e.g. once per chunk)
         if refined or pose_dev is None:
+            self.dispatch_counts["pose_slice"] += 1
             pose_dev = self._last_pose_se2(
                 self.graph.g.poses, jnp.asarray(k, jnp.int32)
             )
@@ -1352,6 +1533,7 @@ class SlamEngine:
         # tunnel round trip PER LEAF (~26 ms each); packing the 7 decision
         # leaves device-side cuts a drain's fetch from 7*entries round
         # trips to `entries` (usually 1)
+        self.dispatch_counts["decision_fetch"] += len(pending)
         with self._stage("loop_fetch"):
             fetched = jax.device_get([
                 self._pack_decisions(cand, res)
@@ -1430,6 +1612,7 @@ class SlamEngine:
         if self.graph.num_loops == 0:
             return
         solver = self._solve_full if full else self._solve_fast
+        self.dispatch_counts["pgo_full" if full else "pgo_fast"] += 1
         with self._stage("pgo_refine_full" if full else "pgo_refine_fast"):
             self.graph.g = solver(
                 self.graph.g, self.graph.num_nodes, self.graph.num_loops

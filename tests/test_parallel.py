@@ -420,3 +420,66 @@ def test_bucketed_distributed_refine_cheaper_than_full(rng):
     # 64 vs 1024 nodes of factor work per CG iteration: demand a clear win
     # (generous 0.8 bound to keep CI timing noise from flaking the test)
     assert t_bucket < 0.8 * t_full, (t_bucket, t_full)
+
+def test_engine_mesh_chunked_matches_single_device():
+    """The mesh-sharded engine on the CHUNKED streaming fast path (VERDICT
+    r4 next #1): fused keyframe segments with sharded-bank detection must
+    (a) actually take the fused path — no per-keyframe fallback storm, the
+    dispatch structure stays within ~2x of single-device round trips — and
+    (b) reproduce the single-device chunked engine's loops + trajectory."""
+    import dataclasses as dc
+    import os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam import small_cfg
+    from navtech_radar_slam_tpu.data import RadarSimulator
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+
+    base = small_cfg()
+    cfg = dc.replace(
+        base,
+        keyframes=dc.replace(base.keyframes, max_keyframes=96),
+        pgo=dc.replace(base.pgo, max_nodes=96),
+    )
+    sim = RadarSimulator(cfg.radar)
+    n = 64
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    scans = np.stack([np.asarray(sim.render(gt[i], noise_seed=i))
+                      for i in range(n)])
+
+    m = mesh_mod.make_mesh(8)
+    eng_m = SlamEngine(cfg, mesh=m)
+    eng_s = SlamEngine(cfg)
+    S = 16
+    for eng in (eng_m, eng_s):
+        for i in range(0, n, S):
+            eng.process_chunk(
+                scans[i:i + S],
+                timestamps=[j * 0.25 for j in range(i, i + S)],
+            )
+
+    assert len(eng_m.loops) >= 1 and len(eng_s.loops) >= 1
+    # same near-threshold tolerance as the per-scan mesh test: distributed
+    # CG reduction order can flip individual borderline verifications
+    lm = [(e.prev_idx, e.curr_idx) for e in eng_m.loops]
+    ls = [(e.prev_idx, e.curr_idx) for e in eng_s.loops]
+
+    def matched(a, bs):
+        return any(abs(a[0] - b[0]) <= 2 and abs(a[1] - b[1]) <= 2 for b in bs)
+
+    assert sum(matched(a, ls) for a in lm) >= len(lm) // 2, (lm, ls)
+    assert sum(matched(b, lm) for b in ls) >= len(ls) // 2, (lm, ls)
+    np.testing.assert_allclose(
+        eng_m.trajectory()[:, :3, 3], eng_s.trajectory()[:, :3, 3], atol=0.1
+    )
+
+    # round-trip structure: the mesh engine must ride the fused segments,
+    # not the per-keyframe fallback (which costs 5+ dispatches/keyframe)
+    dm, ds = eng_m.dispatch_counts, eng_s.dispatch_counts
+    assert dm["kf_segment"] >= 1
+    assert dm["kf_segment"] == ds["kf_segment"], (dict(dm), dict(ds))
+    # fallback keyframes (split insert) must be the rare exception, not
+    # the rule: well under one per chunk
+    assert dm["kf_insert_split"] <= 3 * 4, dict(dm)
+    total_m = sum(dm.values())
+    total_s = sum(ds.values())
+    assert total_m <= 2 * total_s, (dict(dm), dict(ds))

@@ -352,10 +352,13 @@ def test_gps_altitude_offset_engine():
     g = eng.graph.g
     n = eng.num_keyframes
     assert n >= 3
-    assert bool(np.all(np.asarray(g.gps_valid[:n])))
-    stored_z = np.asarray(g.gps_meas[:n, 2])
+    # node 0 latches the datum but carries NO factor (the reference adds
+    # GPSFactor only in the consecutive-node branch, cpp:511-533)
+    assert not bool(g.gps_valid[0])
+    assert bool(np.all(np.asarray(g.gps_valid[1:n])))
+    stored_z = np.asarray(g.gps_meas[1:n, 2])
     # stored measurements are RELATIVE altitude, not ~70 m absolute
-    np.testing.assert_allclose(stored_z, np.asarray(alts[:n]) - 70.0,
+    np.testing.assert_allclose(stored_z, np.asarray(alts[1:n]) - 70.0,
                                atol=1e-6)
     assert np.all(np.abs(stored_z) < 5.0)
 
@@ -452,3 +455,68 @@ def test_prewarm_compiles_without_touching_state():
     np.testing.assert_allclose(
         eng_a.trajectory(), eng_b.trajectory(), rtol=0, atol=0)
     assert eng_a.num_keyframes == eng_b.num_keyframes
+
+
+def test_chunked_gps_matches_per_scan():
+    """VERDICT r4 next #3: GPS in streaming (chunk) mode.  Fixes registered
+    via set_gps_table() associate per KEYFRAME timestamp inside the fused
+    segments (reference full-rate association,
+    laserPosegraphOptimization.cpp:439-451) and the written factors must be
+    BIT-IDENTICAL to the per-scan add_gps() path's (same xy-from-last-
+    optimized semantics, cpp:472-475, 526-533; same altitude datum)."""
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, pgo=dataclasses.replace(cfg.pgo, use_gps=True))
+    sim = RadarSimulator(cfg.radar)
+    n = 24
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    scans = [sim.render(gt[i], noise_seed=i) for i in range(n)]
+    times = np.asarray([i * 0.25 for i in range(n)])
+    # a fix near every scan (absolute altitudes ~70 m) plus jitter inside
+    # the 0.1 s window, and a dropout window with no fixes at all
+    gps_t, gps_a = [], []
+    for i in range(n):
+        if 8 <= i < 12:
+            continue                     # dropout: those keyframes get none
+        gps_t.append(times[i] + 0.03)
+        gps_a.append(70.0 + 0.5 * i)
+    gps_t, gps_a = np.asarray(gps_t), np.asarray(gps_a)
+
+    # per-scan: CLI-style association per scan timestamp
+    eng_a = SlamEngine(cfg)
+    for i, s in enumerate(scans):
+        j = int(np.searchsorted(gps_t, times[i]))
+        for cand in (j - 1, j):
+            if 0 <= cand < len(gps_t) and (
+                abs(gps_t[cand] - times[i]) < cfg.pgo.gps_time_window
+            ):
+                eng_a.add_gps(np.array([0.0, 0.0, gps_a[cand]]))
+                break
+        eng_a.process(s, timestamp=times[i])
+
+    # chunked: table registered once, association inside process_chunk
+    eng_b = SlamEngine(cfg)
+    eng_b.set_gps_table(gps_t, gps_a)
+    S = 8
+    for c0 in range(0, n, S):
+        eng_b.process_chunk(
+            np.stack(scans[c0:c0 + S]),
+            timestamps=list(times[c0:c0 + S]),
+        )
+    eng_a.current_pose(); eng_b.current_pose()   # drain both
+
+    assert eng_b.num_keyframes == eng_a.num_keyframes
+    assert eng_b.gps_alt_offset == eng_a.gps_alt_offset == 70.0
+    na = eng_a.num_keyframes
+    ga, gb = eng_a.graph.g, eng_b.graph.g
+    va = np.asarray(ga.gps_valid[:na]); vb = np.asarray(gb.gps_valid[:na])
+    np.testing.assert_array_equal(vb, va)
+    assert not va[0]                      # node 0: datum only, no factor
+    assert va[1:8].all()                  # dense fixes attach
+    assert va.sum() < na - 1              # the dropout window left gaps
+    ma = np.asarray(ga.gps_meas[:na]); mb = np.asarray(gb.gps_meas[:na])
+    np.testing.assert_array_equal(mb[va], ma[va])
+    # altitudes stored datum-relative
+    assert np.all(np.abs(ma[va][:, 2]) < 20.0)
+    # and the fused path actually carried them (not per-keyframe fallback)
+    assert eng_b.dispatch_counts["kf_segment"] >= 1
