@@ -210,13 +210,30 @@ def bench_full_slam(cfg, sim, warmup):
     timers = StageTimers()
     eng.timers = timers
     measured = 0
+    # NRS_BENCH_PROFILE=<dir>: capture a jax.profiler device trace of the
+    # measured window (the cross-check VERDICT r4 weak #4 asked for — the
+    # StageTimers split attributes async device work to whichever stage
+    # blocks next; the trace shows true device occupancy)
+    import contextlib
+
+    from navtech_radar_slam_tpu.utils.profiling import device_trace
+
+    prof_dir = os.environ.get("NRS_BENCH_PROFILE")
+    prof_cm = device_trace(prof_dir) if prof_dir else contextlib.nullcontext()
     t0 = time.time()
-    for c0 in range(warm_chunks * chunk, n_scans, chunk):
-        nxt = put_next(c0 + chunk)
-        eng.process_chunk(dev)
-        dev = nxt
-        measured += chunk
-    eng.current_pose()   # drains the deferred queue + fences the device
+    # depth-2 pipelined streaming (the CLI's deployment shape, VERDICT r4
+    # next #2): chunk t+1's upload + odometry dispatch are issued BEFORE
+    # chunk t's odometry-result fetch, so the small fetch rides the link
+    # alongside the next bulk upload instead of queuing a full upload time
+    # behind it (that queuing was 79 % of the r4 measured window)
+    with prof_cm:
+        eng.begin_chunk(dev)
+        for c0 in range(warm_chunks * chunk + chunk, n_scans, chunk):
+            nxt = put_next(c0)
+            eng.begin_chunk(nxt)
+            measured += eng.finish_chunk()
+        measured += eng.finish_chunk()
+        eng.current_pose()   # drains the deferred queue + fences the device
     dt = time.time() - t0
     sps = measured / dt
     log(f"full SLAM: {sps:.2f} scans/s over {measured} scans "

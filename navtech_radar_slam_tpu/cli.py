@@ -174,7 +174,10 @@ def make_config(args):
 
 
 def scan_stream(args, cfg):
-    """Yields (power, azimuths, timestamp); prefers the native C++ loader.
+    """Yields (power, azimuths, ray_valid, timestamp); prefers the native
+    C++ loader.  ray_valid is the sensor's per-azimuth validity byte
+    (polar oxford form, /root/reference/README.md:70-71) — the engine
+    zeroes invalid rays on device before feature extraction.
 
     Power is raw uint8 (normalize-on-device): the jitted front-end casts
     /255 on chip, so each scan ships 1.4 MB instead of 5.5 MB — on a
@@ -199,7 +202,7 @@ def scan_stream(args, cfg):
 
                 def gen_native():
                     for i, (power, ts, az, valid) in enumerate(loader):
-                        yield power, az, ds.timestamp(i)
+                        yield power, az, valid, ds.timestamp(i)
 
                 return gen_native(), n, "native"
         except Exception as e:  # pragma: no cover - defensive
@@ -208,7 +211,7 @@ def scan_stream(args, cfg):
     def gen_py():
         for i in range(n):
             s = ds[i]
-            yield s.power, s.azimuths, s.timestamp
+            yield s.power, s.azimuths, s.valid, s.timestamp
 
     return gen_py(), n, "python"
 
@@ -321,7 +324,8 @@ def main(argv=None) -> int:
         if args.prewarm:
             tp = time.time()
             exp = min(total, eng.cfg.keyframes.max_keyframes)
-            eng.prewarm(exp, chunk, per_scan_azimuths=True)
+            eng.prewarm(exp, chunk, per_scan_azimuths=True,
+                        live_outputs=args.live)
             # the last partial chunk binds different array shapes — its
             # programs (odometry seq, segment buckets) are distinct; warm
             # them too or they compile mid-run in the steady window
@@ -330,18 +334,24 @@ def main(argv=None) -> int:
                 eng.prewarm(exp, rem, per_scan_azimuths=True, full=False)
             print(f"prewarm: {time.time() - tp:.1f}s "
                   f"(compiled streaming programs)")
-        # Double-buffered streaming: chunk t+1 is device_put BEFORE chunk t
-        # is processed, so its host->device transfer overlaps chunk t's
-        # compute (device_put is async; the DMA rides alongside execution).
-        # Over a tunneled device this hides most of the scan upload.
-        buf = []
-        pending = None   # (powers_dev, azimuths_dev, timestamps, last_idx)
+        # Depth-2 pipelined streaming (VERDICT r4 next #2): chunk t+1 is
+        # device_put AND its odometry sequence dispatched (begin_chunk)
+        # BEFORE chunk t's results are fetched (finish_chunk).  The carry
+        # chains device-side, so the device runs the two sequences back to
+        # back; chunk t's small result fetch rides the link alongside chunk
+        # t+1's bulk scan upload instead of queuing a full upload behind it
+        # — the queuing that made odometry_seq 79 % of the r4 bench window.
+        import collections
 
-        def run_pending(p):
+        buf = []
+        meta = collections.deque()   # (last_scan_idx, n_scans) per in-flight
+
+        def finish_one():
             nonlocal processed
             with timers.time("slam_chunk"):
-                eng.process_chunk(p[0], p[1], p[2])
-            processed += len(p[2])
+                eng.finish_chunk()
+            last_idx, n_scans = meta.popleft()
+            processed += n_scans
             _warm_mark()
             if live is not None:
                 with timers.time("live_poll"):
@@ -349,9 +359,11 @@ def main(argv=None) -> int:
             if args.status_every and processed % (
                 args.status_every - args.status_every % chunk or chunk
             ) == 0:
-                pose = eng.current_pose()
+                # non-draining pose estimate: a current_pose() here would
+                # finish the younger in-flight chunk and stall the pipeline
+                pose = eng._pose_estimate()
                 print(
-                    f"[{p[3] + 1}/{total}] kf={eng.num_keyframes} "
+                    f"[{last_idx + 1}/{total}] kf={eng.num_keyframes} "
                     f"loops={len(eng.loops)} pose=({pose[0]:.1f}, "
                     f"{pose[1]:.1f}, {pose[2]:.2f}) "
                     f"{processed / (time.time() - t0):.2f} scans/s"
@@ -364,28 +376,29 @@ def main(argv=None) -> int:
                 )
 
         with profiling.device_trace(args.profile_dir):
-            for i, (power, azimuths, ts) in enumerate(stream):
+            for i, (power, azimuths, valid, ts) in enumerate(stream):
                 if i < start_scan:
                     continue
-                buf.append((np.asarray(power), np.asarray(azimuths), ts))
+                buf.append((np.asarray(power), np.asarray(azimuths),
+                            np.asarray(valid), ts))
                 if len(buf) == chunk or i == total - 1:
-                    nxt = (
-                        jax.device_put(np.stack([b[0] for b in buf])),
-                        jax.device_put(np.stack([b[1] for b in buf])),
-                        [b[2] for b in buf],
-                        i,
-                    )
+                    powers = jax.device_put(np.stack([b[0] for b in buf]))
+                    azs = jax.device_put(np.stack([b[1] for b in buf]))
+                    valids = jax.device_put(np.stack([b[2] for b in buf]))
+                    tss = [b[3] for b in buf]
                     buf = []
-                    if pending is not None:
-                        run_pending(pending)
-                    pending = nxt
-            if pending is not None:
-                run_pending(pending)
+                    with timers.time("chunk_begin"):
+                        eng.begin_chunk(powers, azs, tss, ray_valids=valids)
+                    meta.append((i, len(tss)))
+                    if eng.inflight_chunks >= 2:
+                        finish_one()
+            while meta:
+                finish_one()
         wall = time.time() - t0
         return _finalize(args, eng, processed, wall, timers, t0, warm)
 
     with profiling.device_trace(args.profile_dir):
-        for i, (power, azimuths, ts) in enumerate(stream):
+        for i, (power, azimuths, valid, ts) in enumerate(stream):
             if i < start_scan:
                 continue
             if gps is not None:
@@ -396,7 +409,7 @@ def main(argv=None) -> int:
                         eng.add_gps(np.array([0.0, 0.0, float(alts[cand])]))
                         break
             with timers.time("slam_step"):
-                eng.process(power, azimuths, timestamp=ts)
+                eng.process(power, azimuths, timestamp=ts, ray_valid=valid)
             processed += 1
             _warm_mark()
             if live is not None:

@@ -73,6 +73,7 @@ def write_sequence(
     gps: bool = False,
     gps_rate_hz: float = 10.0,
     gps_alt0: float = 70.0,
+    world: str = "circuit",
 ) -> np.ndarray:
     """Render + write the sequence; returns the (N, 3) ground-truth poses.
 
@@ -80,12 +81,34 @@ def write_sequence(
     lat, lon, alt — the reference consumes altitude only,
     laserPosegraphOptimization.cpp:526-533) at ``gps_rate_hz`` with
     ABSOLUTE altitudes around ``gps_alt0`` (the engine must latch the
-    datum; a flat-zero stream would hide datum bugs)."""
+    datum; a flat-zero stream would hide datum bugs).
+
+    ``world="alias"`` builds the perceptual-aliasing course (VERDICT r4
+    next #4): the landmark field cloned (1.0 m jitter) at a distant site,
+    plus dynamic scatterers; the trajectory laps site A, transits to the
+    clone site B, and laps there — ScanContext produces below-threshold
+    cross-site candidates that submap ICP must reject."""
     import cv2
 
     rc = RadarConfig()
-    sim = RadarSimulator(rc, sim_cfg)
-    gt = sim.circuit_trajectory(num_scans + 1, radius=radius, speed=speed)
+    if world == "alias":
+        if sim_cfg is None:
+            from navtech_radar_slam_tpu.data.synthetic import SimConfig
+
+            offset = 10.0 * radius
+            sim_cfg = SimConfig(
+                num_landmarks=300, world_size=8.0 * radius,
+                alias_offset=(offset, 0.0), alias_jitter=1.0,
+                alias_keep=1.0, num_dynamic=20, seed=seed,
+            )
+        sim = RadarSimulator(rc, sim_cfg)
+        gt = sim.two_site_trajectory(
+            num_scans + 1, radius=radius, speed=speed,
+            site_offset=sim_cfg.alias_offset, laps_a=1.6,
+        )
+    else:
+        sim = RadarSimulator(rc, sim_cfg)
+        gt = sim.circuit_trajectory(num_scans + 1, radius=radius, speed=speed)
 
     seq = os.path.join(out_dir, "polar_oxford_form")
     os.makedirs(seq, exist_ok=True)
@@ -99,6 +122,7 @@ def write_sequence(
         power = sim.render(
             gt[i], noise_seed=seed * 100_003 + i,
             end_pose=gt[i + 1] if distort else None,
+            t=i * period,
         )
         power = power * drop[i] if drop[i] != 1.0 else power
         stamp_us = start_stamp_us + round(i * period * 1e6)
@@ -155,6 +179,10 @@ def main(argv=None) -> int:
     p.add_argument("--gps", action="store_true",
                    help="also write a MulRan-format gps.csv (absolute "
                         "altitudes ~70 m at 10 Hz)")
+    p.add_argument("--world", default="circuit", choices=("circuit", "alias"),
+                   help="'alias' = perceptual-aliasing two-site course "
+                        "with dynamic scatterers (cross-site ScanContext "
+                        "candidates that ICP must reject)")
     args = p.parse_args(argv)
 
     gt = write_sequence(
@@ -163,6 +191,7 @@ def main(argv=None) -> int:
         progress=True,
         start_stamp_us=START_STAMP_US + round(args.stamp_offset_s * 1e6),
         gps=args.gps,
+        world=args.world,
     )
     laps = args.speed * args.scans / (4.0 * 2 * np.pi * args.radius)
     print(f"wrote {args.scans} scans ({laps:.2f} laps of r={args.radius} m) "

@@ -131,14 +131,22 @@ def deskew_matches(matches, twist: jnp.ndarray, cfg: SlamConfig):
 
 
 def extract_scan_features(power: jnp.ndarray, azimuths: jnp.ndarray,
-                          cfg: SlamConfig) -> ScanFeatures:
+                          cfg: SlamConfig, ray_valid=None) -> ScanFeatures:
     """cen2019 peaks -> metric xy -> rotation-invariant constellation
     descriptors (ops.features.constellation_descriptors).
 
     ``power`` may be float in [0, 1] OR raw uint8 sensor bytes; uint8 is
     normalized ON DEVICE.  Streaming raw bytes to the chip cuts the
     host->device transfer 4x (5.5 -> 1.4 MB/scan) — over a tunneled
-    remote device that transfer, not compute, bounds the scan rate."""
+    remote device that transfer, not compute, bounds the scan rate.
+
+    ``ray_valid`` ((NA,) bool, optional): per-azimuth validity from the
+    sensor (the 11th metadata byte of the polar oxford form,
+    /root/reference/README.md:70-71, decoded by both loaders).  Rays the
+    sensor marked invalid are zeroed ON DEVICE before feature extraction
+    so their garbage returns can never become features."""
+    if ray_valid is not None:
+        power = power * ray_valid.astype(power.dtype)[:, None]
     if power.dtype == jnp.uint8:
         power = power.astype(jnp.float32) * (1.0 / 255.0)
     feats = cen2019.extract_features(power, cfg.features, cfg.radar)
@@ -180,6 +188,7 @@ def odometry_step(
     prev: ScanFeatures,
     twist: jnp.ndarray,
     cfg: SlamConfig,
+    ray_valid=None,
 ) -> Tuple[ScanFeatures, registration.RegistrationResult, ScanFeatures]:
     """One front-end step: extract current scan, register against previous.
     Returns (raw carry, result, de-skewed features for downstream use).
@@ -196,7 +205,7 @@ def odometry_step(
     Pure function of (scan, carry) -> (carry', result); jit it once and feed
     scans — the reference's file-driven per-scan loop (SURVEY §3.5) becomes
     repeated invocation of this compiled program."""
-    curr = extract_scan_features(power, azimuths, cfg)
+    curr = extract_scan_features(power, azimuths, cfg, ray_valid)
     matches = match_feature_pair(prev, curr, cfg)
     res = registration.register_scans(matches, cfg.registration)
     if not (cfg.features.motion_compensation
@@ -253,7 +262,12 @@ def make_odometry_sequence(cfg: SlamConfig, return_features: bool = False):
     """
     max_coast = cfg.registration.max_coast_frames
 
-    def seq(powers, azimuths, prev, twist, coast):
+    def seq(powers, azimuths, prev, twist, coast, ray_valids=None):
+        # ray_valids ((S, NA) bool, optional): zero sensor-marked invalid
+        # rays on device before extraction (polar-oxford-form validity
+        # byte, /root/reference/README.md:70-71)
+        if ray_valids is not None:
+            powers = powers * ray_valids.astype(powers.dtype)[:, :, None]
         # azimuths: (NA,) shared across the chunk, or (S, NA) per scan
         # (MulRan embeds per-ray encoder angles that differ scan to scan)
         if azimuths.ndim == 1:
@@ -328,13 +342,18 @@ class RadarOdometry:
         na = self.cfg.radar.num_azimuths
         return (np.arange(na, dtype=np.float32) + 0.5) / na * 2.0 * np.pi
 
-    def process(self, power, azimuths=None) -> Tuple[np.ndarray, ScanFeatures]:
+    def process(self, power, azimuths=None,
+                ray_valid=None) -> Tuple[np.ndarray, ScanFeatures]:
         """Feed one polar scan; returns (accumulated pose, scan features).
 
         Host discipline: the only device interactions per scan are the scan
         upload, one jitted step dispatch, and ONE fetch of (ok, rel_pose);
         pose accumulation is host numpy (eager jnp ops cost a round-trip
-        each over a tunneled device)."""
+        each over a tunneled device).
+
+        ``ray_valid`` ((NA,) bool, optional): sensor per-azimuth validity
+        (polar-oxford-form metadata byte); invalid rays are zeroed on
+        device before extraction."""
         if azimuths is None:
             if self._az_dev is None:
                 self._az_dev = jnp.asarray(self.default_azimuths())
@@ -342,13 +361,16 @@ class RadarOdometry:
         else:
             azimuths = jnp.asarray(azimuths)
         power = jnp.asarray(power)
+        if ray_valid is not None:
+            ray_valid = jnp.asarray(ray_valid)
         if self.prev is None:
-            self.prev = self._extract(power, azimuths)
+            self.prev = self._extract(power, azimuths, ray_valid=ray_valid)
             self.num_scans = 1
             return self.pose.copy(), self.prev
         curr, result, curr_out = self._step(
             power, azimuths, self.prev,
             jnp.asarray(self.last_rel, jnp.float32),
+            ray_valid=ray_valid,
         )
         self.last_result = result
         ok, rel_dev = jax.device_get((result.ok, result.rel_pose))

@@ -20,6 +20,7 @@ if TYPE_CHECKING:
 
 
 def save_engine(eng: "SlamEngine", path: str) -> None:
+    eng.drain_chunks()          # finish any in-flight streaming chunks
     eng._flush_pending_loop()   # commit any deferred loop decision first
     g = eng.graph.g
     np.savez_compressed(

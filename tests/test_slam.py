@@ -520,3 +520,163 @@ def test_chunked_gps_matches_per_scan():
     assert np.all(np.abs(ma[va][:, 2]) < 20.0)
     # and the fused path actually carried them (not per-keyframe fallback)
     assert eng_b.dispatch_counts["kf_segment"] >= 1
+
+
+def test_pipelined_chunks_match_sequential():
+    """Depth-2 pipelined streaming (begin_chunk t+1 before finish_chunk t,
+    VERDICT r4 next #2) must be bit-equivalent to sequential process_chunk:
+    the odometry twist/coast carry chains device-side, and output consumers
+    drain in-flight chunks."""
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    n = 32
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    scans = [sim.render(gt[i], noise_seed=i) for i in range(n)]
+    S = 8
+
+    eng_a = SlamEngine(cfg)
+    for c0 in range(0, n, S):
+        eng_a.process_chunk(
+            np.stack(scans[c0:c0 + S]),
+            timestamps=[i * 0.25 for i in range(c0, c0 + S)],
+        )
+
+    eng_b = SlamEngine(cfg)
+    for c0 in range(0, n, S):
+        eng_b.begin_chunk(
+            np.stack(scans[c0:c0 + S]),
+            timestamps=[i * 0.25 for i in range(c0, c0 + S)],
+        )
+        if eng_b.inflight_chunks >= 2:
+            eng_b.finish_chunk()
+    assert eng_b.inflight_chunks == 1
+    # output consumer drains the tail in-flight chunk
+    pose_b = eng_b.current_pose()
+    assert eng_b.inflight_chunks == 0
+
+    assert eng_b.num_scans == eng_a.num_scans == n
+    assert eng_b.num_keyframes == eng_a.num_keyframes
+    assert len(eng_b.loops) == len(eng_a.loops)
+    np.testing.assert_array_equal(pose_b, eng_a.current_pose())
+    np.testing.assert_array_equal(
+        np.asarray(eng_b.trajectory()), np.asarray(eng_a.trajectory())
+    )
+    # a per-scan interleave after pipelined chunks still works (drains +
+    # falls back to the host carry)
+    extra = sim.render(gt[0], noise_seed=99)
+    pa = eng_a.process(extra, timestamp=n * 0.25)
+    pb = eng_b.process(extra, timestamp=n * 0.25)
+    np.testing.assert_array_equal(pa, pb)
+
+
+def test_ray_validity_masks_garbage_rays():
+    """VERDICT r4 weak #5 / next #7: the polar-oxford-form per-azimuth
+    validity byte (/root/reference/README.md:70-71) must be consumed —
+    rays the sensor marks invalid are zeroed on device before feature
+    extraction, so garbage in them cannot change the trajectory."""
+    cfg = small_cfg()
+    sim = RadarSimulator(cfg.radar)
+    n = 16
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    clean = [np.asarray(sim.render(gt[i], noise_seed=i)) for i in range(n)]
+
+    rng = np.random.default_rng(3)
+    na = cfg.radar.num_azimuths
+    valids = np.ones((n, na), bool)
+    zeroed, garbage = [], []
+    for i in range(n):
+        bad = rng.choice(na, size=40, replace=False)   # 10 % of rays invalid
+        valids[i, bad] = False
+        z = clean[i].copy(); z[bad] = 0.0
+        g = clean[i].copy()
+        g[bad] = rng.exponential(0.3, size=(40, clean[i].shape[1])).clip(0, 1)
+        zeroed.append(z); garbage.append(g)
+
+    def run(scans, masks):
+        eng = SlamEngine(cfg)
+        S = 8
+        for c0 in range(0, n, S):
+            eng.process_chunk(
+                np.stack(scans[c0:c0 + S]),
+                timestamps=[i * 0.25 for i in range(c0, c0 + S)],
+                ray_valids=None if masks is None else masks[c0:c0 + S],
+            )
+        return np.asarray(eng.trajectory())
+
+    t_zero = run(zeroed, valids)
+    t_garb = run(garbage, valids)
+    # masked: garbage in invalid rays changes NOTHING (bit-identical)
+    np.testing.assert_array_equal(t_garb, t_zero)
+    # unmasked control: the same garbage visibly perturbs the trajectory,
+    # proving the mask is what protects it
+    t_unmasked = run(garbage, None)
+    assert np.abs(t_unmasked[:, :2, 3] - t_zero[:, :2, 3]).max() > 1e-4
+
+
+def test_perceptual_aliasing_rejected_in_loop(tmp_path):
+    """VERDICT r4 next #4: the fitness gate must be exercised by IN-LOOP
+    false candidates, not only planted pairs.  A world with a near-clone of
+    site A at site B (SimConfig.alias_offset; clone jittered 1.0 m) plus
+    dynamic scatterers makes ScanContext produce below-threshold CROSS-SITE
+    candidates while circling B — submap ICP must reject every one (the
+    reference's whole reason for its 0.3 gate,
+    laserPosegraphOptimization.cpp:389-394) while true same-site loops
+    still close and the ATE bound holds."""
+    import glob
+
+    from navtech_radar_slam_tpu.data.synthetic import SimConfig
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        keyframes=dataclasses.replace(cfg.keyframes, max_keyframes=256),
+        pgo=dataclasses.replace(cfg.pgo, max_nodes=256, max_loop_edges=64),
+    )
+    sim = RadarSimulator(cfg.radar, SimConfig(
+        num_landmarks=200, world_size=100.0, alias_offset=(100.0, 0.0),
+        alias_jitter=1.0, alias_keep=1.0, num_dynamic=12, seed=0,
+    ))
+    n = 176
+    gt = sim.two_site_trajectory(n, radius=10.0, speed=6.0,
+                                 site_offset=(100.0, 0.0), laps_a=1.5)
+    scans = [sim.render(gt[i], noise_seed=i, t=i * 0.25) for i in range(n)]
+
+    dbg = str(tmp_path / "loopdbg")
+    import os
+    os.makedirs(dbg)
+    eng = SlamEngine(cfg)
+    eng.loop_debug_dir = dbg
+    S = 16
+    for c0 in range(0, n, S):
+        eng.process_chunk(
+            np.stack(scans[c0:c0 + S]),
+            timestamps=[i * 0.25 for i in range(c0, c0 + S)],
+        )
+    eng.current_pose()
+
+    gxy = gt[:, :2]
+    # >= 1 SC false candidate produced AND rejected, visible in the debug
+    # artifacts (the offline /loop_scan_local analogue)
+    rej = [np.load(f) for f in glob.glob(dbg + "/*_rejected.npz")]
+    cross = [z for z in rej if np.linalg.norm(
+        gxy[int(z["prev_idx"])] - gxy[int(z["curr_idx"])]) > 50.0]
+    assert len(cross) >= 1, "no cross-site SC candidate was produced"
+    # every cross-site candidate sat below the SC gate yet far above the
+    # ICP gate — the separation the gate calibration claims
+    for z in cross:
+        assert float(z["sc_dist"]) < cfg.scancontext.sc_dist_thres
+        assert float(z["icp_fitness"]) > 3.0 * cfg.icp.fitness_thresh
+
+    # precision stays 1.00: no accepted loop joins the two sites
+    assert len(eng.loops) >= 5
+    for e in eng.loops:
+        assert np.linalg.norm(gxy[e.prev_idx] - gxy[e.curr_idx]) < 5.0, (
+            f"false accept {e.prev_idx}->{e.curr_idx}")
+
+    # ATE bound over the two-site course
+    g0 = jnp.asarray(gt[0], jnp.float32)
+    gt_rel = np.asarray(jnp.stack(
+        [geo.se2_between(g0, jnp.asarray(g, jnp.float32)) for g in gt]))
+    est = eng.trajectory()[:, :2, 3]
+    ate = np.sqrt(((est - gt_rel[:len(est), :2]) ** 2).sum(-1).mean())
+    assert ate < 1.0, f"ATE {ate:.2f} m on the aliasing course"
