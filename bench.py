@@ -158,7 +158,15 @@ def bench_full_slam(cfg, sim, warmup):
     from navtech_radar_slam_tpu.models.slam import SlamEngine
     from navtech_radar_slam_tpu.utils.profiling import StageTimers
 
-    n_scans, chunk = 336, 16
+    n_scans = int(os.environ.get("NRS_BENCH_SCANS", "336"))
+    chunk = int(os.environ.get("NRS_BENCH_CHUNK", "16"))
+    # "b" (default): put+begin chunk t+1 BEFORE finishing chunk t — the
+    # fetch queues behind the next bulk upload on the FIFO uplink but the
+    # device never idles; "a": finish BEFORE putting the next chunk — the
+    # fetch rides the idle link (pure RTT), the upload then streams while
+    # the host does keyframe work.  Which wins depends on the transport's
+    # duplexing; both are measured on hardware.
+    order = os.environ.get("NRS_BENCH_ORDER", "b")
     warm_chunks = 3
     gt = sim.circuit_trajectory(n_scans, radius=10.0, speed=6.0)
     log("rendering SLAM circuit...")
@@ -229,12 +237,16 @@ def bench_full_slam(cfg, sim, warmup):
     with prof_cm:
         eng.begin_chunk(dev)
         for c0 in range(warm_chunks * chunk + chunk, n_scans, chunk):
-            nxt = put_next(c0)
-            eng.begin_chunk(nxt)
-            measured += eng.finish_chunk()
+            if order == "a":
+                measured += eng.finish_chunk()
+                eng.begin_chunk(put_next(c0))
+            else:
+                eng.begin_chunk(put_next(c0))
+                measured += eng.finish_chunk()
         measured += eng.finish_chunk()
         eng.current_pose()   # drains the deferred queue + fences the device
     dt = time.time() - t0
+    log(f"(chunk={chunk}, order={order})")
     sps = measured / dt
     log(f"full SLAM: {sps:.2f} scans/s over {measured} scans "
         f"({eng.num_keyframes} kf, {len(eng.loops)} loops, "

@@ -1005,10 +1005,15 @@ class SlamEngine:
             (odo.prev, twist_dev, coast_dev, rels, oks, _, xys,
              valids) = self._seq(powers, az, odo.prev, twist_in, coast_in,
                                  ray_valids=ray_valids)
+            # pack the result leaves NOW, so the packed vector is enqueued
+            # right behind this chunk's sequence on the device stream —
+            # finish_chunk's fetch then only waits on data computed long
+            # ago, never on work enqueued after it (chunk t+1's sequence)
+            packed = self._pack_odo(rels, oks, coast_dev)
         self._twist_dev = twist_dev
         self._coast_dev = coast_dev
         self._inflight.append(
-            (S, list(timestamps), seeded, rels, oks, coast_dev, xys, valids)
+            (S, list(timestamps), seeded, packed, xys, valids)
         )
 
     def finish_chunk(self) -> int:
@@ -1017,15 +1022,24 @@ class SlamEngine:
         number of scans processed."""
         if not self._inflight:
             return 0
-        (S, timestamps, seeded, rels, oks, coast_dev, xys,
-         valids) = self._inflight.popleft()
+        (S, timestamps, seeded, packed, xys, valids) = self._inflight.popleft()
         c = self.cfg
         odo = self.odometry
 
         with self._stage("odo_fetch"):
-            # one packed fetch (one tunnel round trip, not one per leaf)
+            # ONE device_get for the chunk: the packed odometry vector PLUS
+            # any pending loop-decision packs (their device values were
+            # computed chunks ago; piggybacking them here saves the drain
+            # its own ~0.2 s tunnel round trip per chunk)
             self.dispatch_counts["pack_odo_fetch"] += 1
-            p = jax.device_get(self._pack_odo(rels, oks, coast_dev))
+            pend_dev = [(i, pk) for i, (ks, sl, pk) in
+                        enumerate(self._pending_loops)
+                        if not isinstance(pk, np.ndarray)]
+            vals = jax.device_get([packed] + [pk for _, pk in pend_dev])
+            p = vals[0]
+            for (i, _), host in zip(pend_dev, vals[1:]):
+                ks, sl, _ = self._pending_loops[i]
+                self._pending_loops[i] = (ks, sl, np.asarray(host))
         rels_h = np.asarray(p[:3 * S].reshape(S, 3), np.float64)
         oks_h = p[3 * S:4 * S] > 0.5
         coast_h = int(p[4 * S])
@@ -1439,8 +1453,12 @@ class SlamEngine:
         self.graph.num_nodes = k0 + m
         self.last_kf_pose = np.asarray(prev_pose, np.float64).copy()
         if ks_det:
+            # pack the decision leaves NOW (enqueued right behind the
+            # segment on the device stream) so the eventual drain fetch
+            # never waits on later-enqueued work
             self._pending_loops.append(
-                (tuple(ks_det), tuple(slots_det), cands, ress)
+                (tuple(ks_det), tuple(slots_det),
+                 self._pack_decisions(cands, ress))
             )
             self._pending_count += len(ks_det)
         self._cur_pose_dev = pose_dev
@@ -1546,8 +1564,10 @@ class SlamEngine:
                     )
                 # defer the decision fetch: commit happens once the queue
                 # reaches loop_commit_defer or an output consumer drains it
-                # (no host stall here)
-                self._pending_loops.append(((k,), None, cand, res))
+                # (no host stall here); packed now — see _dispatch_segment
+                self._pending_loops.append(
+                    ((k,), None, self._pack_decisions(cand, res))
+                )
                 self._pending_count += 1
             elif (k + 1) % c.scancontext.detect_every_n_keyframes == 0:
                 # gate was the exclude-recent window (reference cpp:558):
@@ -1665,14 +1685,19 @@ class SlamEngine:
         # tunnel round trip PER LEAF (~26 ms each); packing the 7 decision
         # leaves device-side cuts a drain's fetch from 7*entries round
         # trips to `entries` (usually 1)
-        self.dispatch_counts["decision_fetch"] += len(pending)
+        self.dispatch_counts["decision_fetch"] += sum(
+            1 for _, _, pk in pending if not isinstance(pk, np.ndarray)
+        )
         with self._stage("loop_fetch"):
-            fetched = jax.device_get([
-                self._pack_decisions(cand, res)
-                for _, _, cand, res in pending
-            ])
+            # entries already fetched by a finish_chunk piggyback are host
+            # arrays; only the rest pay a device round trip
+            dev = [pk for _, _, pk in pending
+                   if not isinstance(pk, np.ndarray)]
+            host = iter(jax.device_get(dev)) if dev else iter(())
+            fetched = [pk if isinstance(pk, np.ndarray) else next(host)
+                       for _, _, pk in pending]
         decisions = []   # (k, found, accepted, idx, dist, fitness, rel2, yaw)
-        for (ks, slots, _, _), p in zip(pending, fetched):
+        for (ks, slots, _), p in zip(pending, fetched):
             T = len(p) // 9
             found, acc, idx, dist, fit = (p[t * T:(t + 1) * T]
                                           for t in range(5))
