@@ -180,7 +180,15 @@ def bench_full_slam(cfg, sim, warmup):
         .astype(np.uint8)
         for i in range(n_scans)
     ])
-    log(f"rendered {n_scans} scans in {time.time() - t0:.1f}s")
+    pack = os.environ.get("NRS_BENCH_PACK4", "1") == "1"
+    if pack:
+        # 4-bit companded wire format (data/packing.py): HALF the upload
+        # on the link-bound streaming path, accuracy-neutral
+        from navtech_radar_slam_tpu.data.packing import pack4
+
+        scans = pack4(scans)
+    log(f"rendered {n_scans} scans in {time.time() - t0:.1f}s "
+        f"(pack4={pack})")
     warmup.join()   # first-dispatch tunnel cost paid during the render
 
     eng = SlamEngine(cfg)
@@ -190,7 +198,7 @@ def bench_full_slam(cfg, sim, warmup):
     # they masquerade as throughput loss.  Under ~60 s means the
     # persistent cache was hit for the bulk of the programs.
     t0 = time.time()
-    eng.prewarm(n_scans, chunk)
+    eng.prewarm(n_scans, chunk, pack4=pack)
     _log_compile("prewarm (all streaming programs)", time.time() - t0)
 
     # Double-buffered upload (the CLI's deployment shape): chunk t+1 is

@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax.config, which wins). cpu + "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "gives an N-device virtual mesh for --mesh runs")
+    p.add_argument("--pack4", type=_bool, default=True,
+                   help="chunk mode: stream scans as 4-bit sqrt-companded "
+                        "packed bytes (HALF the host->device transfer; "
+                        "accuracy-neutral — see data/packing.py). false = "
+                        "raw uint8")
     p.add_argument("--live", type=_bool, default=True,
                    help="emit live_path_tum.txt / live_map.csv snapshots at "
                         "MapConfig.path_rate_hz / map_rate_hz (wall clock) "
@@ -325,13 +330,14 @@ def main(argv=None) -> int:
             tp = time.time()
             exp = min(total, eng.cfg.keyframes.max_keyframes)
             eng.prewarm(exp, chunk, per_scan_azimuths=True,
-                        live_outputs=args.live)
+                        live_outputs=args.live, pack4=args.pack4)
             # the last partial chunk binds different array shapes — its
             # programs (odometry seq, segment buckets) are distinct; warm
             # them too or they compile mid-run in the steady window
             rem = (total - start_scan) % chunk
             if rem:
-                eng.prewarm(exp, rem, per_scan_azimuths=True, full=False)
+                eng.prewarm(exp, rem, per_scan_azimuths=True, full=False,
+                            pack4=args.pack4)
             print(f"prewarm: {time.time() - tp:.1f}s "
                   f"(compiled streaming programs)")
         # Depth-2 pipelined streaming (VERDICT r4 next #2): chunk t+1 is
@@ -382,7 +388,15 @@ def main(argv=None) -> int:
                 buf.append((np.asarray(power), np.asarray(azimuths),
                             np.asarray(valid), ts))
                 if len(buf) == chunk or i == total - 1:
-                    powers = jax.device_put(np.stack([b[0] for b in buf]))
+                    powers_np = np.stack([b[0] for b in buf])
+                    if args.pack4 and powers_np.dtype == np.uint8:
+                        from navtech_radar_slam_tpu.data.packing import pack4
+
+                        # half the upload: 4-bit companded wire format,
+                        # unpacked on device (accuracy-neutral; the link,
+                        # not the chip, bounds the streaming rate)
+                        powers_np = pack4(powers_np)
+                    powers = jax.device_put(powers_np)
                     azs = jax.device_put(np.stack([b[1] for b in buf]))
                     valids = jax.device_put(np.stack([b[2] for b in buf]))
                     tss = [b[3] for b in buf]

@@ -144,10 +144,25 @@ def extract_scan_features(power: jnp.ndarray, azimuths: jnp.ndarray,
     sensor (the 11th metadata byte of the polar oxford form,
     /root/reference/README.md:70-71, decoded by both loaders).  Rays the
     sensor marked invalid are zeroed ON DEVICE before feature extraction
-    so their garbage returns can never become features."""
+    so their garbage returns can never become features.
+
+    A uint8 input whose trailing dim is padded_range_bins // 2 is the
+    PACKED 4-bit companded wire format (data/packing.py — half the
+    host->device bytes on the link-bound streaming path), unpacked on
+    device: code q -> power (q/15)^2 in [0, 1]."""
     if ray_valid is not None:
+        # zeroing the raw bytes zeroes both nibbles of the packed format
+        # too, so masking commutes with the unpack below
         power = power * ray_valid.astype(power.dtype)[:, None]
-    if power.dtype == jnp.uint8:
+    if (power.dtype == jnp.uint8
+            and 2 * power.shape[-1] == cfg.radar.padded_range_bins):
+        hi = (power >> 4).astype(jnp.float32)
+        lo = (power & 0xF).astype(jnp.float32)
+        q = jnp.stack([hi, lo], axis=-1).reshape(
+            power.shape[:-1] + (2 * power.shape[-1],)
+        )
+        power = jnp.square(q * (1.0 / 15.0))
+    elif power.dtype == jnp.uint8:
         power = power.astype(jnp.float32) * (1.0 / 255.0)
     feats = cen2019.extract_features(power, cfg.features, cfg.radar)
     xy = cen2019.features_to_xy(feats, azimuths, cfg.radar)

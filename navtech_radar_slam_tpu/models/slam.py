@@ -38,6 +38,7 @@ from __future__ import annotations
 import collections
 import contextlib
 import dataclasses
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -1237,7 +1238,8 @@ class SlamEngine:
 
     def prewarm(self, expected_keyframes: int, chunk: int = 16,
                 scan_dtype=jnp.uint8, per_scan_azimuths: bool = False,
-                full: bool = True, live_outputs: bool = False):
+                full: bool = True, live_outputs: bool = False,
+                pack4: bool = False):
         """Compile every program the single-device streaming path will need,
         BEFORE real scans arrive.
 
@@ -1261,25 +1263,42 @@ class SlamEngine:
         chunk, whose shapes are distinct but whose solvers/fallbacks are
         already warm.  Mesh-sharded engines warm the same set (their
         segment programs are the sharded variants) plus the per-keyframe
-        sharded fallback (insert / detect / verify)."""
+        sharded fallback (insert / detect / verify).
+
+        The distinct programs compile CONCURRENTLY (``workers`` threads):
+        each first-call is one compile RPC to the backend, which releases
+        the GIL — on the tunneled backend, where a cold prewarm is ~25
+        serial compiles at ~16 s each, the pool overlaps them against the
+        server (VERDICT r4 next #6: attack cold start)."""
         from navtech_radar_slam_tpu.models import odometry as odo_mod
 
         c = self.cfg
         K = c.features.max_features
         na, nb = c.radar.num_azimuths, c.radar.padded_range_bins
+        if pack4:
+            # the packed 4-bit wire format (data/packing.py) is a distinct
+            # program (half-width uint8 input, device unpack)
+            nb = nb // 2
         g = self.graph.g
+        thunks = []
 
         if full:
-            # solver buckets (fast + full), up to the expected active size
+            # solver buckets (fast + full), up to the expected active size —
+            # every (bucket, solver) pair is an independent program
             cap = min(expected_keyframes + chunk, c.pgo.max_nodes)
             nbkt = 64
+            nloops = max(self.graph.num_loops, 1)
             while True:
-                self._solve_fast(g, nbkt, max(self.graph.num_loops, 1))
-                self._solve_full(g, nbkt, max(self.graph.num_loops, 1))
+                for solver in (self._solve_fast, self._solve_full):
+                    thunks.append(
+                        lambda s=solver, n=nbkt: s(g, n, nloops)
+                    )
                 if nbkt >= cap:
                     break
                 nbkt = min(2 * nbkt, cap)
-            self._last_pose_se2(g.poses, jnp.asarray(0, jnp.int32))
+            thunks.append(
+                lambda: self._last_pose_se2(g.poses, jnp.asarray(0, jnp.int32))
+            )
 
         # odometry: extraction seed + the S-scan sequence program.
         # per_scan_azimuths compiles the (S, NA) azimuth variant the CLI
@@ -1293,14 +1312,21 @@ class SlamEngine:
         # per_scan_azimuths marks the CLI/loader contract, which also ships
         # per-ray validity — warm the ray_valids program variant to match
         rv = (jnp.ones((chunk, na), bool) if per_scan_azimuths else None)
-        carry = self.odometry._extract(
-            powers[0], az[0] if per_scan_azimuths else az,
-            ray_valid=None if rv is None else rv[0],
+
+        def warm_odometry():
+            carry = self.odometry._extract(
+                powers[0], az[0] if per_scan_azimuths else az,
+                ray_valid=None if rv is None else rv[0],
+            )
+            self._seq(powers, az, carry, jnp.zeros(3, jnp.float32),
+                      jnp.asarray(0, jnp.int32), ray_valids=rv)
+
+        thunks.append(warm_odometry)
+        thunks.append(
+            lambda: self._pack_odo(jnp.zeros((chunk, 3), jnp.float32),
+                                   jnp.zeros(chunk, bool),
+                                   jnp.asarray(0, jnp.int32))
         )
-        self._seq(powers, az, carry, jnp.zeros(3, jnp.float32),
-                  jnp.asarray(0, jnp.int32), ray_valids=rv)
-        self._pack_odo(jnp.zeros((chunk, 3), jnp.float32),
-                       jnp.zeros(chunk, bool), jnp.asarray(0, jnp.int32))
 
         # keyframe-segment buckets + decision packers (stacked and scalar)
         xys = jnp.zeros((chunk, K, 2), jnp.float32)
@@ -1324,54 +1350,84 @@ class SlamEngine:
             )
             return cand, res
 
+        def seg_thunk(prog, Tp):
+            return lambda: prog(
+                self.clouds, self.clouds_valid, self.bank,
+                self.ring_keys, g, k0, zero,
+                jnp.zeros(Tp, jnp.int32), xys, valids,
+                jnp.zeros((Tp, 3), jnp.float32),
+                jnp.zeros((Tp, 3), jnp.float32),
+                jnp.zeros(Tp, bool), jnp.zeros(Tp, bool),
+                jnp.zeros(Tp, jnp.float32), jnp.zeros(Tp, bool))
+
         Tp = 1
         while True:
             Tp = min(Tp, self._segment_bucket(chunk))
             for det in ((True, False) if c.do_slam else (False,)):
-                prog = self._get_segment(Tp, det)
-                prog(self.clouds, self.clouds_valid, self.bank,
-                     self.ring_keys, g, k0, zero,
-                     jnp.zeros(Tp, jnp.int32), xys, valids,
-                     jnp.zeros((Tp, 3), jnp.float32),
-                     jnp.zeros((Tp, 3), jnp.float32),
-                     jnp.zeros(Tp, bool), jnp.zeros(Tp, bool),
-                     jnp.zeros(Tp, jnp.float32), jnp.zeros(Tp, bool))
-            self._pack_decisions(*dummy_pair((Tp,)))
+                # build the jit wrapper on THIS thread (dict mutation);
+                # only the first call (trace + compile) runs in the pool
+                thunks.append(seg_thunk(self._get_segment(Tp, det), Tp))
+            thunks.append(
+                lambda T=Tp: self._pack_decisions(*dummy_pair((T,)))
+            )
             if Tp >= self._segment_bucket(chunk):
                 break
             Tp *= 2
-        self._pack_decisions(*dummy_pair(()))
+        thunks.append(lambda: self._pack_decisions(*dummy_pair(())))
         if full and self.loop_debug_dir is not None:
-            self._debug_submap(self.clouds, self.clouds_valid, g.poses,
-                               jnp.asarray(0, jnp.int32),
-                               jnp.asarray(1, jnp.int32), zero)
+            thunks.append(
+                lambda: self._debug_submap(
+                    self.clouds, self.clouds_valid, g.poses,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+                    zero)
+            )
         if full and live_outputs:
             # live snapshots (trajectory/map pollers) would otherwise pay
             # the map render's first compile mid-stream at the first poll
-            self._get_map_render(c.map.keyframe_stride)(
-                self.clouds, self.clouds_valid, g.poses, zero
+            render = self._get_map_render(c.map.keyframe_stride)
+            thunks.append(
+                lambda: render(self.clouds, self.clouds_valid, g.poses, zero)
             )
         if full:
             # per-keyframe fallback path (first keyframe, GPS, growth)
             if self._sharded_detect is None:
-                self._kf_step(self.clouds, self.clouds_valid, self.bank,
-                              self.ring_keys, g, k0, xys[0], valids[0],
-                              jnp.zeros(3, jnp.float32),
-                              jnp.zeros(3, jnp.float32),
-                              jnp.asarray(False), jnp.asarray(False))
+                thunks.append(
+                    lambda: self._kf_step(
+                        self.clouds, self.clouds_valid, self.bank,
+                        self.ring_keys, g, k0, xys[0], valids[0],
+                        jnp.zeros(3, jnp.float32),
+                        jnp.zeros(3, jnp.float32),
+                        jnp.asarray(False), jnp.asarray(False))
+                )
             else:
-                v = self._voxel_mask(xys[0], valids[0])
-                d = self._make_desc(xys[0], v)
-                self._kf_insert(self.clouds, self.clouds_valid, self.bank,
-                                self.ring_keys, g, k0, xys[0], v, d,
-                                jnp.zeros(3, jnp.float32),
-                                jnp.zeros(3, jnp.float32),
-                                jnp.asarray(False))
-                cand0 = self._sharded_detect(d, self.bank,
-                                             jnp.asarray(1, jnp.int32))
-                self._verify_pipeline(cand0, self.clouds, self.clouds_valid,
-                                      g.poses, xys[0], v,
-                                      jnp.asarray(1, jnp.int32))
+                def warm_mesh_fallback():
+                    v = self._voxel_mask(xys[0], valids[0])
+                    d = self._make_desc(xys[0], v)
+                    self._kf_insert(self.clouds, self.clouds_valid,
+                                    self.bank, self.ring_keys, g, k0,
+                                    xys[0], v, d,
+                                    jnp.zeros(3, jnp.float32),
+                                    jnp.zeros(3, jnp.float32),
+                                    jnp.asarray(False))
+                    cand0 = self._sharded_detect(d, self.bank,
+                                                 jnp.asarray(1, jnp.int32))
+                    self._verify_pipeline(
+                        cand0, self.clouds, self.clouds_valid, g.poses,
+                        xys[0], v, jnp.asarray(1, jnp.int32))
+
+                thunks.append(warm_mesh_fallback)
+
+        import concurrent.futures
+
+        workers = int(os.environ.get("NRS_PREWARM_WORKERS", "8"))
+        if workers <= 1:
+            for t in thunks:
+                t()
+        else:
+            with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+                futs = [pool.submit(t) for t in thunks]
+                for f in futs:
+                    f.result()   # surface compile failures
         # fence: compiles (and their cache loads) complete before returning,
         # so callers' timing cleanly separates warm-up from streaming
         jax.device_get(self._pack_decisions(*dummy_pair(())))
