@@ -25,6 +25,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 mode = sys.argv[1] if len(sys.argv) > 1 else "threaded"
 os.environ["NRS_PREWARM_WORKERS"] = "1" if mode == "serial" else "8"
 

@@ -157,7 +157,9 @@ def test_eval_cli(tmp_path):
 
 
 def test_cli_chunked_matches_per_scan(tmp_path):
-    """--chunk N produces the same trajectory as per-scan streaming."""
+    """--chunk N produces the same trajectory as per-scan streaming
+    (--pack4 false: parity is about the chunking machinery; the 4-bit wire
+    format intentionally quantizes and gets its own check below)."""
     from navtech_radar_slam_tpu import cli
 
     seq_dir, gt = write_sequence(tmp_path, n_scans=7)
@@ -171,11 +173,22 @@ def test_cli_chunked_matches_per_scan(tmp_path):
     assert cli.main([
         "--seq_dir", str(seq_dir), "--config", cfg_path,
         "--output_dir", str(out_b), "--chunk", "3", "--save_plot", "false",
+        "--pack4", "false",
     ]) == 0
     ta = np.loadtxt(out_a / "trajectory_tum.txt")
     tb = np.loadtxt(out_b / "trajectory_tum.txt")
     assert ta.shape == tb.shape
     np.testing.assert_allclose(tb[:, 1:4], ta[:, 1:4], atol=1e-3)
+
+    # the packed default stays CLOSE (quantization-level differences only)
+    out_c = tmp_path / "out_pack4"
+    assert cli.main([
+        "--seq_dir", str(seq_dir), "--config", cfg_path,
+        "--output_dir", str(out_c), "--chunk", "3", "--save_plot", "false",
+    ]) == 0
+    tc = np.loadtxt(out_c / "trajectory_tum.txt")
+    assert tc.shape == ta.shape
+    np.testing.assert_allclose(tc[:, 1:4], ta[:, 1:4], atol=0.05)
 
 
 def test_cli_resume_chunked(tmp_path):
