@@ -84,7 +84,7 @@ def write_sequence(
     datum; a flat-zero stream would hide datum bugs).
 
     ``world="alias"`` builds the perceptual-aliasing course (VERDICT r4
-    next #4): the landmark field cloned (1.0 m jitter) at a distant site,
+    next #4): the landmark field cloned (1.25 m jitter) at a distant site,
     plus dynamic scatterers; the trajectory laps site A, transits to the
     clone site B, and laps there — ScanContext produces below-threshold
     cross-site candidates that submap ICP must reject."""
@@ -96,9 +96,15 @@ def write_sequence(
             from navtech_radar_slam_tpu.data.synthetic import SimConfig
 
             offset = 10.0 * radius
+            # jitter 1.25 m (not the small-world test's 1.0): at this
+            # world's longer feature ranges the whitened ICP gate's
+            # per-correspondence variance grows with r, so the clone needs
+            # a larger geometric offset to stay unambiguously rejectable
+            # while its SC distance stays below the 0.45 candidate gate
+            # (measured 0.33-0.44 at 1.25; 2/5 poses exceed the gate at 1.5)
             sim_cfg = SimConfig(
                 num_landmarks=300, world_size=8.0 * radius,
-                alias_offset=(offset, 0.0), alias_jitter=1.0,
+                alias_offset=(offset, 0.0), alias_jitter=1.25,
                 alias_keep=1.0, num_dynamic=20, seed=seed,
             )
         sim = RadarSimulator(rc, sim_cfg)
