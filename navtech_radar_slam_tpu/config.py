@@ -237,14 +237,33 @@ class IcpConfig:
     #: scale-free (see class docstring); "pcl": raw mean squared NN distance
     #: in m² (reference getFitnessScore semantics, gate 0.3 at cpp:389)
     fitness_metric: str = "whitened"
-    #: acceptance gate.  Whitened metric calibration (simulator circuits,
-    #: tests/test_slam.py::test_fitness_gate_separates_true_and_false_loops):
-    #: true loops measure 0.002-0.01, planted false pairs 36-42; the
-    #: theoretical expectation for a true loop whose noise matches the model
-    #: is ~1.0, so 2.0 leaves margin for model mismatch on real data while
-    #: sitting >15x below the false-pair band.  For fitness_metric="pcl" use
-    #: the reference's 0.3 (cpp:389).
-    fitness_thresh: float = 2.0
+    #: acceptance gate.  Whitened metric calibration: unit-test planted
+    #: pairs separate at 0.002-0.01 (true) vs 36-42 (false); the r5
+    #: 1600-scan perceptual-aliasing hardware run
+    #: (artifacts/run1600_alias_r5) showed the REAL true-loop band tops out
+    #: at 0.63 (median 0.40 — stacked submaps give a min-of-many-
+    #: observations NN bias that sits true loops ~2-3x below the
+    #: single-observation expectation of ~1.0), while near-clone FALSE
+    #: matches (1.25 m geometric offset) measured 0.56-1.0.  0.75 keeps the
+    #: whole measured true band with ~20 % margin and rejects the upper
+    #: half of the clone band; clones below it are killed by the odometry
+    #: consistency gate (below).  For fitness_metric="pcl" use the
+    #: reference's 0.3 (cpp:389).
+    fitness_thresh: float = 0.75
+    #: odometry-consistency gate (TPU-native addition; no reference
+    #: analogue — its absolute 0.3 m² gate implicitly rejects gross
+    #: mismatches): accept a loop only if the ICP relative pose agrees
+    #: with the graph-predicted relative pose within
+    #: odom_consistency_abs + odom_consistency_frac * (odometry path
+    #: length between the two keyframes).  A genuine closure disagrees by
+    #: accumulated drift (radar odometry ~1-2 % of path); a perceptual-
+    #: alias match claims two nodes hundreds of metres of path apart
+    #: coincide — far outside any drift budget (the r5 aliasing run's 116
+    #: false accepts all fail this gate; every true loop passes at <= 2 %
+    #: of path).  Inter-session loops (no odometry path between sessions)
+    #: are exempt.  frac <= 0 disables.
+    odom_consistency_frac: float = 0.05
+    odom_consistency_abs: float = 5.0
     #: noise model for the whitened metric (matches RegistrationConfig)
     whiten_sigma_range: float = 0.25
     whiten_sigma_azimuth_rad: float = 0.01745

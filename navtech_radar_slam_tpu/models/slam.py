@@ -127,9 +127,28 @@ def _empty_icp_result(shape=()):
     )
 
 
+def _odom_path_cum(g):
+    """Cumulative odometry path length per node (for the loop
+    odometry-consistency gate): cum[k] = sum of valid odometry-edge
+    translation norms up to node k."""
+    steps = jnp.linalg.norm(g.odom_meas[:, :2, 3], axis=-1) * g.odom_valid
+    return jnp.cumsum(steps)
+
+
 def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
-                      num_kf, cfg: SlamConfig):
-    """Submap build + ICP for a loop candidate (shared by both paths)."""
+                      num_kf, cfg: SlamConfig, path_cum=None,
+                      session_start=None):
+    """Submap build + ICP for a loop candidate (shared by both paths).
+
+    When ``path_cum`` (see _odom_path_cum) is given, the ODOMETRY
+    CONSISTENCY gate also applies (IcpConfig.odom_consistency_*): the loop
+    is accepted only if its ICP relative pose agrees with the
+    graph-predicted relative pose within the drift allowance — the defense
+    against perceptual aliasing that geometry alone cannot provide (a
+    near-clone site aligns under ICP with plausible fitness, but claims
+    two nodes hundreds of metres of path apart coincide).  Inter-session
+    pairs (candidate before ``session_start``, query after) are exempt:
+    there is no odometry path between sessions."""
     # cap the ICP query cloud at icp.max_query_points (valid points first,
     # earliest-index order preserved) — the knob that bounds the NN matmul's
     # query side when feature capacity exceeds what verification needs
@@ -165,37 +184,33 @@ def _verify_candidate(cand, clouds, clouds_valid, poses_se2, q_xy, q_valid,
         # entry); the result leaves are unread when found is False
         return _empty_icp_result()
 
-    return jax.lax.cond(cand.found, run, skip, None)
-
-
-def _make_loop_pipeline(cfg: SlamConfig):
-    """Jitted fused single-device path: (bank, ring keys, clouds, poses,
-    query) -> (LoopCandidate, IcpResult).  search_mode selects the
-    whole-bank correlation or the reference's two-stage ring-key pipeline."""
-
-    def fn(bank_desc, ring_keys, clouds, clouds_valid, poses_se3, q_xy,
-           q_valid, q_desc, num_kf):
-        poses_se2 = geo.se3_to_se2(poses_se3)
-        if cfg.scancontext.search_mode == "ringkey":
-            cand = sc_ops.detect_loop_ringkey(
-                q_desc, bank_desc, ring_keys, num_kf, cfg.scancontext
+    res = jax.lax.cond(cand.found, run, skip, None)
+    if path_cum is not None and cfg.icp.odom_consistency_frac > 0:
+        k = num_kf - 1
+        rel_graph = geo.se2_between(poses_se2[center], poses_se2[k])
+        disagree = jnp.linalg.norm(res.rel_pose[:2] - rel_graph[:2])
+        path = jnp.abs(path_cum[k] - path_cum[center])
+        allowed = (cfg.icp.odom_consistency_abs
+                   + cfg.icp.odom_consistency_frac * path)
+        consistent = disagree <= allowed
+        if session_start is not None:
+            consistent = consistent | (
+                (center < session_start) & (k >= session_start)
             )
-        else:
-            cand = sc_ops.detect_loop(q_desc, bank_desc, num_kf, cfg.scancontext)
-        res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
-                                q_xy, q_valid, num_kf, cfg)
-        return cand, res
-
-    return jax.jit(fn)
+        res = res._replace(accepted=res.accepted & consistent)
+    return res
 
 
 def _make_verify_pipeline(cfg: SlamConfig):
     """Jitted submap+ICP only (used after a sharded bank search)."""
 
-    def fn(cand, clouds, clouds_valid, poses_se3, q_xy, q_valid, num_kf):
-        poses_se2 = geo.se3_to_se2(poses_se3)
+    def fn(cand, clouds, clouds_valid, g, q_xy, q_valid, num_kf,
+           session_start):
+        poses_se2 = geo.se3_to_se2(g.poses)
         return _verify_candidate(cand, clouds, clouds_valid, poses_se2,
-                                 q_xy, q_valid, num_kf, cfg)
+                                 q_xy, q_valid, num_kf, cfg,
+                                 path_cum=_odom_path_cum(g),
+                                 session_start=session_start)
 
     return jax.jit(fn)
 
@@ -239,7 +254,7 @@ def _make_kf_insert(cfg: SlamConfig):
 
 def _kf_step_body(cfg: SlamConfig, clouds, clouds_valid, bank, ring_keys, g,
                   k, xy, valid, odo_pose_se2, prev_odo_se2, has_odom,
-                  do_detect):
+                  do_detect, session_start):
     """Traced single-keyframe body: ScanContext descriptor + bank/cloud/graph
     insert + (lax.cond-gated) loop detection + submap ICP verification.
 
@@ -282,7 +297,9 @@ def _kf_step_body(cfg: SlamConfig, clouds, clouds_valid, bank, ring_keys, g,
         else:
             cand = sc_ops.detect_loop(desc, bank, num_kf, cfg.scancontext)
         res = _verify_candidate(cand, clouds, clouds_valid, poses_se2,
-                                xy, valid, num_kf, cfg)
+                                xy, valid, num_kf, cfg,
+                                path_cum=_odom_path_cum(g),
+                                session_start=session_start)
         return cand, res
 
     def skip(_):
@@ -302,11 +319,11 @@ def _make_kf_step(cfg: SlamConfig):
     loop."""
 
     def fn(clouds, clouds_valid, bank, ring_keys, g, k, xy, valid,
-           odo_pose_se2, prev_odo_se2, has_odom, do_detect):
+           odo_pose_se2, prev_odo_se2, has_odom, do_detect, session_start):
         (clouds, clouds_valid, bank, ring_keys, g, desc, cand,
          res) = _kf_step_body(
             cfg, clouds, clouds_valid, bank, ring_keys, g, k, xy, valid,
-            odo_pose_se2, prev_odo_se2, has_odom, do_detect,
+            odo_pose_se2, prev_odo_se2, has_odom, do_detect, session_start,
         )
         last_pose = geo.se3_to_se2(g.poses[k])
         return (clouds, clouds_valid, bank, ring_keys, g, desc, cand, res,
@@ -387,7 +404,7 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True,
 
     def fn(clouds, clouds_valid, bank, ring_keys, g, k0, n_slots, sel,
            xys, valids, odo_poses, prev_odos, has_odoms, do_detects,
-           gps_alts, gps_has):
+           gps_alts, gps_has, session_start):
         del do_detects   # host-side gate: non-detect slots are never read
         K = xys.shape[1]
         active = jnp.arange(T, dtype=jnp.int32) < n_slots
@@ -492,6 +509,7 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True,
             # per-slot num_kf bound reproduces the sequential visibility
             poses_se2 = geo.se3_to_se2(g.poses)
             num_kfs = (k0 + 1 + jnp.arange(T)).astype(jnp.int32)
+            path_cum = _odom_path_cum(g)
 
             if mesh is not None:
                 # ONE shard_map search for the whole segment's queries
@@ -502,7 +520,8 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True,
                 ress = jax.vmap(
                     lambda cand, xy, valid, num_kf: _verify_candidate(
                         cand, clouds, clouds_valid, poses_se2, xy, valid,
-                        num_kf, cfg)
+                        num_kf, cfg, path_cum=path_cum,
+                        session_start=session_start)
                 )(cands, q_xy, q_valid, num_kfs)
             else:
                 def detect_one(desc, xy, valid, num_kf):
@@ -514,7 +533,9 @@ def _make_kf_segment(cfg: SlamConfig, T: int, with_detect: bool = True,
                         cand = sc_ops.detect_loop(desc, bank, num_kf,
                                                   cfg.scancontext)
                     res = _verify_candidate(cand, clouds, clouds_valid,
-                                            poses_se2, xy, valid, num_kf, cfg)
+                                            poses_se2, xy, valid, num_kf,
+                                            cfg, path_cum=path_cum,
+                                            session_start=session_start)
                     return cand, res
 
                 cands, ress = jax.vmap(detect_one)(descs, q_xy, q_valid,
@@ -1358,7 +1379,8 @@ class SlamEngine:
                 jnp.zeros((Tp, 3), jnp.float32),
                 jnp.zeros((Tp, 3), jnp.float32),
                 jnp.zeros(Tp, bool), jnp.zeros(Tp, bool),
-                jnp.zeros(Tp, jnp.float32), jnp.zeros(Tp, bool))
+                jnp.zeros(Tp, jnp.float32), jnp.zeros(Tp, bool),
+                jnp.asarray(self.session_start, jnp.int32))
 
         Tp = 1
         while True:
@@ -1397,7 +1419,8 @@ class SlamEngine:
                         self.ring_keys, g, k0, xys[0], valids[0],
                         jnp.zeros(3, jnp.float32),
                         jnp.zeros(3, jnp.float32),
-                        jnp.asarray(False), jnp.asarray(False))
+                        jnp.asarray(False), jnp.asarray(False),
+                        jnp.asarray(self.session_start, jnp.int32))
                 )
             else:
                 def warm_mesh_fallback():
@@ -1412,8 +1435,9 @@ class SlamEngine:
                     cand0 = self._sharded_detect(d, self.bank,
                                                  jnp.asarray(1, jnp.int32))
                     self._verify_pipeline(
-                        cand0, self.clouds, self.clouds_valid, g.poses,
-                        xys[0], v, jnp.asarray(1, jnp.int32))
+                        cand0, self.clouds, self.clouds_valid, g,
+                        xys[0], v, jnp.asarray(1, jnp.int32),
+                        jnp.asarray(self.session_start, jnp.int32))
 
                 thunks.append(warm_mesh_fallback)
 
@@ -1504,6 +1528,7 @@ class SlamEngine:
                 xys, valids, jnp.asarray(odo_arr), jnp.asarray(prev_arr),
                 jnp.asarray(has), jnp.asarray(dets),
                 jnp.asarray(gps_arr), jnp.asarray(gps_has),
+                jnp.asarray(self.session_start, jnp.int32),
             )
         self.num_keyframes = k0 + m
         self.graph.num_nodes = k0 + m
@@ -1581,6 +1606,7 @@ class SlamEngine:
                     jnp.asarray(self.last_kf_pose, jnp.float32),
                     jnp.asarray(has_odom),
                     jnp.asarray(do_detect),
+                    jnp.asarray(self.session_start, jnp.int32),
                 )
         self.graph.num_nodes = k + 1
         self.last_kf_pose = odo_pose.copy()
@@ -1615,8 +1641,9 @@ class SlamEngine:
                     self.dispatch_counts["verify"] += 1
                     res = self._verify_pipeline(
                         cand, self.clouds, self.clouds_valid,
-                        self.graph.g.poses, xy, valid,
+                        self.graph.g, xy, valid,
                         jnp.asarray(k + 1, jnp.int32),
+                        jnp.asarray(self.session_start, jnp.int32),
                     )
                 # defer the decision fetch: commit happens once the queue
                 # reaches loop_commit_defer or an output consumer drains it

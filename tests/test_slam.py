@@ -680,3 +680,75 @@ def test_perceptual_aliasing_rejected_in_loop(tmp_path):
     est = eng.trajectory()[:, :2, 3]
     ate = np.sqrt(((est - gt_rel[:len(est), :2]) ** 2).sum(-1).mean())
     assert ate < 1.0, f"ATE {ate:.2f} m on the aliasing course"
+
+
+def test_odom_consistency_gate_rejects_perfect_clone():
+    """The odometry-consistency gate (IcpConfig.odom_consistency_*) is the
+    defense fitness alone cannot provide: an EXACT geometric clone aligns
+    under ICP with true-loop-grade fitness, but claims two nodes far apart
+    in odometry path length coincide.  Inter-session pairs are exempt (no
+    odometry path connects sessions)."""
+    import jax.numpy as jnp
+
+    from navtech_radar_slam_tpu.models import posegraph as pg
+    from navtech_radar_slam_tpu.models.slam import (
+        _odom_path_cum, _verify_candidate)
+    from navtech_radar_slam_tpu.ops.scancontext import LoopCandidate
+
+    cfg = small_cfg()
+    rng = np.random.default_rng(0)
+    K = 256
+    cloud = rng.uniform(-30, 30, size=(K, 2)).astype(np.float32)
+
+    # a 100-node graph walking +2 m in x per node; node 0 and node 80 are
+    # 160 m of path apart
+    N = 100
+    g = pg.empty_graph(dataclasses.replace(cfg.pgo, max_nodes=128))
+    poses = np.tile(np.eye(4, dtype=np.float32), (128, 1, 1))
+    poses[:N, 0, 3] = 2.0 * np.arange(N)
+    step = np.eye(4, dtype=np.float32); step[0, 3] = 2.0
+    g = g._replace(
+        poses=jnp.asarray(poses),
+        odom_meas=jnp.asarray(np.tile(step, (128, 1, 1))),
+        odom_valid=jnp.ones(128, bool).at[0].set(False),
+        num_nodes=jnp.asarray(N, jnp.int32),
+    )
+    clouds = jnp.zeros((128, K, 2), jnp.float32).at[0].set(cloud)
+    clouds_valid = jnp.zeros((128, K), bool).at[0].set(True)
+
+    # candidate: node 0's EXACT cloud observed again at node 80 (a perfect
+    # perceptual alias) — ICP fitness will be superb
+    cand = LoopCandidate(idx=jnp.asarray(0, jnp.int32),
+                         dist=jnp.asarray(0.01, jnp.float32),
+                         yaw=jnp.asarray(0.0, jnp.float32),
+                         found=jnp.asarray(True))
+    poses_se2 = np.zeros((128, 3), np.float32)
+    poses_se2[:N, 0] = 2.0 * np.arange(N)
+
+    def verify(session_start):
+        return _verify_candidate(
+            cand, clouds, clouds_valid, jnp.asarray(poses_se2),
+            jnp.asarray(cloud), jnp.ones(K, bool),
+            jnp.asarray(81, jnp.int32), cfg,
+            path_cum=_odom_path_cum(g),
+            session_start=jnp.asarray(session_start, jnp.int32),
+        )
+
+    res = verify(0)
+    assert float(res.fitness) < cfg.icp.fitness_thresh   # fitness passes...
+    assert not bool(res.accepted), (
+        "perfect clone 160 m of path away must fail the consistency gate")
+    # inter-session exemption: same pair across a session boundary accepts
+    res2 = verify(40)
+    assert bool(res2.accepted)
+    # and with the gate disabled the (old) fitness-only behavior returns
+    cfg_off = dataclasses.replace(
+        cfg, icp=dataclasses.replace(cfg.icp, odom_consistency_frac=0.0))
+    res3 = _verify_candidate(
+        cand, clouds, clouds_valid, jnp.asarray(poses_se2),
+        jnp.asarray(cloud), jnp.ones(K, bool),
+        jnp.asarray(81, jnp.int32), cfg_off,
+        path_cum=_odom_path_cum(g),
+        session_start=jnp.asarray(0, jnp.int32),
+    )
+    assert bool(res3.accepted)
