@@ -380,6 +380,13 @@ def main(argv=None) -> int:
                 ckpt.save_engine(
                     eng, os.path.join(args.output_dir, "checkpoint.npz")
                 )
+                # save_engine drains ALL in-flight chunks; retire their
+                # meta entries too or every later finish_one would report
+                # a chunk one behind the one actually finished
+                while len(meta) > eng.inflight_chunks:
+                    _, n_extra = meta.popleft()
+                    processed += n_extra
+                    _warm_mark()
 
         with profiling.device_trace(args.profile_dir):
             for i, (power, azimuths, valid, ts) in enumerate(stream):

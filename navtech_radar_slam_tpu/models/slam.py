@@ -810,11 +810,18 @@ class SlamEngine:
                 )
             return gg
 
+        if PL:
+            li = jnp.asarray(z["graph_loop_i"][:PL], jnp.int32)
+            lj = jnp.asarray(z["graph_loop_j"][:PL], jnp.int32)
+            lm = jnp.asarray(z["graph_loop_meas"][:PL])
+        else:
+            # legacy checkpoints (pre loop-factor persistence) carry no
+            # graph_loop_* keys at all; keep them loadable
+            li = jnp.zeros(0, jnp.int32)
+            lj = jnp.zeros(0, jnp.int32)
+            lm = jnp.zeros((0, 4, 4), jnp.float32)
         self.graph.g = jax.jit(_attach)(
-            self.graph.g, jnp.asarray(prior_poses),
-            jnp.asarray(z["graph_loop_i"][:PL], jnp.int32),
-            jnp.asarray(z["graph_loop_j"][:PL], jnp.int32),
-            jnp.asarray(z["graph_loop_meas"][:PL]),
+            self.graph.g, jnp.asarray(prior_poses), li, lj, lm,
         )
         self.graph.num_nodes = P
         self.graph.num_loops = PL
@@ -1204,7 +1211,10 @@ class SlamEngine:
             i, odo_pose, ts = kfs[idx]
             if not fused_ok:
                 # per-keyframe path (the one GPS-bearing keyframe);
-                # fused_ok is re-evaluated next iteration
+                # fused_ok is re-evaluated next iteration.  If a table fix
+                # ALSO associated with this keyframe, the explicit add_gps()
+                # fix wins — a node carries at most one GPS factor, so this
+                # is a precedence rule, not a dropped constraint
                 self._add_keyframe(odo_pose, xys[i], valids[i], ts)
                 idx += 1
                 continue

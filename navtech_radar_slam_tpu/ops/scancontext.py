@@ -223,6 +223,37 @@ def ringkey_searchable_bound(num_valid, cfg: ScanContextConfig):
     return bound
 
 
+def ringkey_two_stage_best(
+    query_desc: jnp.ndarray,
+    bank_desc: jnp.ndarray,
+    bank_ring_keys: jnp.ndarray,
+    searchable: jnp.ndarray,
+    k: int,
+    cfg: ScanContextConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Core of the reference's two-stage pipeline (cpp:331-422), shared by
+    the single-device detector and the sharded per-shard search so their
+    candidate-gating semantics can never diverge: ring-key KNN prefilter of
+    ``k`` candidates over the ``searchable`` rows (cpp:367-374), then
+    shift-correlation scoring on those candidates only (ratio-restricted
+    window when cfg.search_ratio > 0, cpp:93-148).
+
+    Returns (best row index into bank_desc, best distance, best shift);
+    distance is +inf when no searchable row exists."""
+    qkey = ring_key(query_desc)
+    d2 = jnp.sum((bank_ring_keys - qkey[None, :]) ** 2, axis=-1)
+    d2 = jnp.where(searchable, d2, jnp.inf)
+    _, cand = jax.lax.top_k(-d2, k)
+    cand_desc = bank_desc[cand]                       # (k, R, S)
+    if cfg.search_ratio > 0:
+        dist, shift = sc_distance_ratio_shifts(query_desc, cand_desc, cfg)
+    else:
+        dist, shift = sc_distance_all_shifts(query_desc, cand_desc)
+    dist = jnp.where(jnp.isfinite(d2[cand]), dist, jnp.inf)
+    j = jnp.argmin(dist)
+    return cand[j], dist[j], shift[j]
+
+
 class LoopCandidate(NamedTuple):
     idx: jnp.ndarray        # () int32 matched keyframe index (-1 if none)
     dist: jnp.ndarray       # () float32 best SC distance
@@ -281,28 +312,16 @@ def detect_loop_ringkey(
         sector-key-aligned window (sc_distance_ratio_shifts, cpp:93-148)
         instead of searched exhaustively."""
     N = bank_desc.shape[0]
-    qkey = ring_key(query_desc)
-    idx = jnp.arange(N)
-    searchable = idx < ringkey_searchable_bound(num_valid, cfg)
-    d2 = jnp.sum((bank_ring_keys - qkey[None, :]) ** 2, axis=-1)
-    d2 = jnp.where(searchable, d2, jnp.inf)
-    k = cfg.num_candidates
-    _, cand = jax.lax.top_k(-d2, k)
-
-    cand_desc = bank_desc[cand]                       # (k, R, S)
-    if cfg.search_ratio > 0:
-        dist, shift = sc_distance_ratio_shifts(query_desc, cand_desc, cfg)
-    else:
-        dist, shift = sc_distance_all_shifts(query_desc, cand_desc)
-    cand_ok = jnp.isfinite(d2[cand])
-    dist = jnp.where(cand_ok, dist, jnp.inf)
-    j = jnp.argmin(dist)
-    best_dist = dist[j]
+    searchable = jnp.arange(N) < ringkey_searchable_bound(num_valid, cfg)
+    best, best_dist, best_shift = ringkey_two_stage_best(
+        query_desc, bank_desc, bank_ring_keys, searchable,
+        cfg.num_candidates, cfg,
+    )
     found = best_dist < cfg.sc_dist_thres
     return LoopCandidate(
-        idx=jnp.where(found, cand[j], -1).astype(jnp.int32),
+        idx=jnp.where(found, best, -1).astype(jnp.int32),
         dist=best_dist,
-        yaw=shift_to_yaw(shift[j], cfg),
+        yaw=shift_to_yaw(best_shift, cfg),
         found=found,
     )
 

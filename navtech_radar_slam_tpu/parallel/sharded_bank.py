@@ -45,24 +45,20 @@ def _local_best_one(query, bank_shard, rkeys_local, gidx, num_valid,
                     cfg: ScanContextConfig, shard_top_k: int):
     """This shard's best (dist, global idx, shift) for ONE query."""
     if cfg.search_mode == "ringkey":
-        bound = sc_ops.ringkey_searchable_bound(num_valid, cfg)
-        searchable = gidx < bound
-        qkey = sc_ops.ring_key(query)
-        d2 = jnp.sum((rkeys_local - qkey[None, :]) ** 2, axis=-1)
-        d2 = jnp.where(searchable, d2, jnp.inf)
-        k = min(shard_top_k, bank_shard.shape[0])
-        _, cand = jax.lax.top_k(-d2, k)
-        cand_desc = bank_shard[cand]                       # (k, R, S)
-        if cfg.search_ratio > 0:
-            dist, shift = sc_ops.sc_distance_ratio_shifts(query, cand_desc, cfg)
-        else:
-            dist, shift = sc_ops.sc_distance_all_shifts(query, cand_desc)
-        dist = jnp.where(jnp.isfinite(d2[cand]), dist, jnp.inf)
-        j = jnp.argmin(dist)
+        # the two-stage prefilter+score core is SHARED with the
+        # single-device detect_loop_ringkey (ops/scancontext.py) so the
+        # candidate-gating semantics cannot diverge between paths; only
+        # the searchable mask (global-index bound on this shard's rows)
+        # and the prefilter width differ
+        searchable = gidx < sc_ops.ringkey_searchable_bound(num_valid, cfg)
+        best, dist, shift = sc_ops.ringkey_two_stage_best(
+            query, bank_shard, rkeys_local, searchable,
+            min(shard_top_k, bank_shard.shape[0]), cfg,
+        )
         return jnp.stack([
-            dist[j],
-            gidx[cand[j]].astype(jnp.float32),
-            shift[j].astype(jnp.float32),
+            dist,
+            gidx[best].astype(jnp.float32),
+            shift.astype(jnp.float32),
         ])
 
     dist, shift = sc_ops.sc_distance_all_shifts(query, bank_shard)
