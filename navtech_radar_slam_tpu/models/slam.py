@@ -1013,6 +1013,12 @@ class SlamEngine:
         if ray_valids is not None:
             ray_valids = jnp.asarray(ray_valids)
         seeded = odo.prev is None
+        # a seeded scan 0 becomes the first keyframe only at a true session
+        # start (no scans processed yet — fresh engine OR prior-session
+        # attach, matching process()'s num_scans==1 branch); after a
+        # checkpoint RESUME (scans already counted) it only re-seeds the
+        # carry, like process()'s resume branch
+        fresh_start = seeded and self.num_scans == 0
         if seeded:
             odo.prev = odo._extract(
                 powers[0], az[0] if az.ndim == 2 else az,
@@ -1042,7 +1048,7 @@ class SlamEngine:
         self._twist_dev = twist_dev
         self._coast_dev = coast_dev
         self._inflight.append(
-            (S, list(timestamps), seeded, packed, xys, valids)
+            (S, list(timestamps), seeded, fresh_start, packed, xys, valids)
         )
 
     def finish_chunk(self) -> int:
@@ -1051,7 +1057,8 @@ class SlamEngine:
         number of scans processed."""
         if not self._inflight:
             return 0
-        (S, timestamps, seeded, packed, xys, valids) = self._inflight.popleft()
+        (S, timestamps, seeded, fresh_start, packed, xys,
+         valids) = self._inflight.popleft()
         c = self.cfg
         odo = self.odometry
 
@@ -1078,13 +1085,14 @@ class SlamEngine:
             odo.num_scans += 1
             self.num_scans += 1
             if seeded and i == 0:
-                # scan 0 only (re)seeded the carry.  On a fresh engine it is
-                # also the first keyframe — added without resetting
-                # movement_accum (still 1e6: the next scan passes the gate
-                # too, reference init semantics, cpp:63).  After a checkpoint
-                # resume the re-seed scan produces no motion and no keyframe,
+                # scan 0 only (re)seeded the carry.  At a session start
+                # (fresh engine or prior-session attach) it is also the
+                # first keyframe — added without resetting movement_accum
+                # (still 1e6: the next scan passes the gate too, reference
+                # init semantics, cpp:63).  After a checkpoint resume the
+                # re-seed scan produces no motion and no keyframe,
                 # mirroring process()'s resume branch.
-                if self.num_keyframes == 0:
+                if fresh_start:
                     kfs.append((0, odo.pose.copy(), timestamps[0]))
                 continue
             ok = bool(oks_h[i])

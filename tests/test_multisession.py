@@ -79,3 +79,55 @@ def test_attach_requires_fresh_engine(tmp_path):
         assert False
     except RuntimeError:
         pass
+
+
+def test_multisession_chunked_matches_per_scan(tmp_path):
+    """Session B streamed in CHUNKS over an attached prior session must
+    reproduce the per-scan session-B merge: same inter-session loops fire,
+    rebase happens, and the trajectories agree (the fused segments must
+    honor session_start — no odometry Between across the gap, consistency
+    gate exempting inter-session pairs)."""
+    cfg = dataclasses.replace(
+        small_cfg(),
+        keyframes=dataclasses.replace(small_cfg().keyframes, max_keyframes=128),
+        pgo=dataclasses.replace(small_cfg().pgo, max_nodes=128,
+                                odom_sigma_rot=0.005, odom_sigma_trans=0.05),
+    )
+    sim = RadarSimulator(cfg.radar)
+
+    gt_a = sim.circuit_trajectory(30, radius=10.0, speed=6.0)
+    eng_a = SlamEngine(cfg)
+    for i in range(30):
+        eng_a.process(sim.render(gt_a[i], noise_seed=i), timestamp=i * 0.25)
+    ck = str(tmp_path / "session_a.npz")
+    ckpt.save_engine(eng_a, ck)
+
+    gt_b = sim.circuit_trajectory(60, radius=10.0, speed=6.0)[5:29]
+    scans_b = [sim.render(gt_b[i], noise_seed=500 + i) for i in range(24)]
+
+    eng_p = SlamEngine(cfg)
+    eng_p.attach_prior_session(ck)
+    for i in range(24):
+        eng_p.process(scans_b[i], timestamp=100 + i * 0.25)
+    eng_p.current_pose()   # drain the deferred decisions before comparing
+
+    eng_c = SlamEngine(cfg)
+    eng_c.attach_prior_session(ck)
+    S = 8
+    for c0 in range(0, 24, S):
+        eng_c.process_chunk(
+            np.stack(scans_b[c0:c0 + S]),
+            timestamps=[100 + i * 0.25 for i in range(c0, c0 + S)],
+        )
+    eng_c.current_pose()
+
+    assert eng_c.num_keyframes == eng_p.num_keyframes
+    inter_c = [e for e in eng_c.loops if e.prev_idx < 30 <= e.curr_idx]
+    assert len(inter_c) >= 1 and eng_c._rebased
+    lp = [(e.prev_idx, e.curr_idx) for e in eng_p.loops]
+    lc = [(e.prev_idx, e.curr_idx) for e in eng_c.loops]
+    assert lc == lp, (lc, lp)
+    np.testing.assert_allclose(
+        np.asarray(eng_c.trajectory()), np.asarray(eng_p.trajectory()),
+        atol=1e-3,
+    )
