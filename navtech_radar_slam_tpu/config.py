@@ -367,7 +367,6 @@ class SlamConfig:
     #: run loop closure + PGO (launch arg `do_slam`,
     #: navtech_radar_slam_mulran.launch:3,7); False = odometry only
     do_slam: bool = True
-    dtype: str = "float32"
 
     # -- serialization ------------------------------------------------------
 
