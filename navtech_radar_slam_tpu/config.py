@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 
 def _round_up(x: int, m: int) -> int:
@@ -139,10 +139,11 @@ class KeyframeConfig:
     keyframe_meter_gap: float = 0.2
     #: keyframe cloud voxel size (laserPosegraphOptimization.cpp:687-689)
     keyframe_voxel_size: float = 0.4
-    #: static keyframe capacity of the device-resident bank (ring of blocks)
+    #: static keyframe capacity of the device-resident bank (ring of blocks).
+    #: Per-keyframe stored points are features.max_features (the odometry
+    #: front-end's padded cloud is stored as-is); the ICP problem sizes are
+    #: bounded separately by icp.max_query_points / max_target_points.
     max_keyframes: int = 4096
-    #: per-keyframe stored feature points (padded)
-    points_per_keyframe: int = 1024
 
 
 @dataclass(frozen=True)
@@ -341,10 +342,12 @@ class MapConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """Mesh sharding of the descriptor bank / keyframe map / PGO."""
+    """Mesh sharding of the descriptor bank / keyframe map / PGO.
 
-    bank_axis: str = "bank"
-    mesh_shape: Tuple[int, ...] = (1,)
+    The mesh itself is passed to SlamEngine (jax.sharding.Mesh) and the
+    bank axis name is parallel.mesh.BANK_AXIS — neither is a config
+    field."""
+
     #: sharded ring-key prefilter width: with scancontext.search_mode=
     #: "ringkey" each shard runs the full shift-correlation only on its
     #: shard_top_k best ring-key candidates (the reference's KD-tree k=3
