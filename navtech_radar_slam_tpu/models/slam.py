@@ -220,9 +220,11 @@ def _make_kf_insert(cfg: SlamConfig):
     descriptor + ring key into their banks, graph node append with the
     odometry Between measurement (iSAM2 init semantics, cpp:497-524).
 
-    Used by the mesh-sharded engine (whose loop detection runs as a separate
-    sharded program); the single-device engine fuses this insert together
-    with detection/verification into _make_kf_step.  The descriptor is
+    Used by the mesh-sharded engine's PER-KEYFRAME fallback path (first
+    keyframe, legacy GPS attach, growth boundaries), whose detection runs
+    as a separate sharded program; its streaming fast path fuses insert +
+    sharded detection into _make_kf_segment(mesh=...), and the
+    single-device engine fuses everything into _make_kf_step.  The descriptor is
     computed by the (engine-shared) _make_desc jit and passed in, so the
     mesh-sharded and single-device engines insert bit-identical banks."""
 

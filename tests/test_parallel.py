@@ -483,3 +483,54 @@ def test_engine_mesh_chunked_matches_single_device():
     total_m = sum(dm.values())
     total_s = sum(ds.values())
     assert total_m <= 2 * total_s, (dict(dm), dict(ds))
+
+
+def test_engine_mesh_chunked_growth():
+    """Capacity growth fired from the CHUNKED mesh path: the rebuilt
+    segment programs must come back as the SHARDED variants (via
+    _get_segment) with shardings preserved, and the trajectory must still
+    match the single-device chunked engine."""
+    import dataclasses as dc
+    import os, sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam import small_cfg
+    from navtech_radar_slam_tpu.data import RadarSimulator
+    from navtech_radar_slam_tpu.models.slam import SlamEngine
+
+    base = small_cfg()
+    cfg = dc.replace(
+        base,
+        keyframes=dc.replace(base.keyframes, max_keyframes=16),
+        pgo=dc.replace(base.pgo, max_nodes=16, max_loop_edges=8),
+    )
+    sim = RadarSimulator(cfg.radar)
+    n = 48
+    gt = sim.circuit_trajectory(n, radius=10.0, speed=6.0)
+    scans = np.stack([np.asarray(sim.render(gt[i], noise_seed=i))
+                      for i in range(n)])
+
+    m = mesh_mod.make_mesh(8)
+    eng_m = SlamEngine(cfg, mesh=m)
+    eng_s = SlamEngine(cfg)
+    S = 16
+    for eng in (eng_m, eng_s):
+        for c0 in range(0, n, S):
+            eng.process_chunk(
+                scans[c0:c0 + S],
+                timestamps=[j * 0.25 for j in range(c0, c0 + S)],
+            )
+        eng.current_pose()
+
+    assert eng_m.cfg.keyframes.max_keyframes >= 64   # growth fired
+    assert eng_m.num_keyframes == eng_s.num_keyframes == n
+    sh = mesh_mod.bank_sharding(m)
+    for name, arr in [("bank", eng_m.bank),
+                      ("odom_meas", eng_m.graph.g.odom_meas),
+                      ("gps_valid", eng_m.graph.g.gps_valid)]:
+        assert arr.sharding.is_equivalent_to(sh, arr.ndim), (
+            f"{name} lost its sharding after chunked growth")
+    # post-growth keyframes still ride the fused segments
+    assert eng_m.dispatch_counts["kf_segment"] >= 2
+    np.testing.assert_allclose(
+        eng_m.trajectory()[:, :3, 3], eng_s.trajectory()[:, :3, 3], atol=0.1
+    )
