@@ -40,14 +40,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_bank_search(d, per_device=2048, iters=20):
+def bench_bank_search(d, per_device=2048, iters=20, mode="full", batch=0):
+    """``mode`` selects the shard-local search ("full" correlation or the
+    reference-parity "ringkey" two-stage prefilter); ``batch`` > 0 measures
+    the BATCHED multi-query detector (the mesh streaming fast path: one
+    dispatch searches a whole fused segment of queries)."""
+    import dataclasses
+
     from navtech_radar_slam_tpu.config import ScanContextConfig
     from navtech_radar_slam_tpu.parallel import mesh as mesh_mod
     from navtech_radar_slam_tpu.parallel.sharded_bank import (
-        make_sharded_loop_detector,
+        make_sharded_loop_detector, make_sharded_loop_detector_batch,
     )
 
-    cfg = ScanContextConfig()
+    cfg = dataclasses.replace(ScanContextConfig(), search_mode=mode)
     m = mesh_mod.make_mesh(d)
     N = per_device * d
     rng = np.random.default_rng(0)
@@ -55,14 +61,18 @@ def bench_bank_search(d, per_device=2048, iters=20):
         (rng.random((N, cfg.num_ring, cfg.num_sector)) > 0.7).astype(np.float32) * 2
     )
     bank = jax.device_put(bank, mesh_mod.bank_sharding(m))
-    query = bank[3]
-    detect = make_sharded_loop_detector(m, cfg)
     nv = jnp.asarray(N)
-    r = detect(query, bank, nv)
+    if batch > 0:
+        detect = make_sharded_loop_detector_batch(m, cfg)
+        args = (bank[3:3 + batch], bank, jnp.full((batch,), N, jnp.int32))
+    else:
+        detect = make_sharded_loop_detector(m, cfg)
+        args = (bank[3], bank, nv)
+    r = detect(*args)
     jax.device_get(jax.tree_util.tree_leaves(r)[0])
     t0 = time.time()
     for _ in range(iters):
-        r = detect(query, bank, nv)
+        r = detect(*args)
     jax.device_get(jax.tree_util.tree_leaves(r)[0])
     return (time.time() - t0) / iters
 
@@ -135,6 +145,18 @@ def anchor_main():
             "device": kind, "shard_keyframes": per_shard,
             "time_ms": round(1e3 * t, 3),
         }))
+    # the r5 additions: reference-parity ringkey two-stage shard search and
+    # the batched (T=16) multi-query detector of the mesh streaming path
+    for mode, batch in (("ringkey", 0), ("full", 16), ("ringkey", 16)):
+        for per_shard in (2048, 8192):
+            t = bench_bank_search(1, per_device=per_shard, iters=10,
+                                  mode=mode, batch=batch)
+            print(json.dumps({
+                "metric": "sharded_bank_search_per_shard_real_chip",
+                "device": kind, "shard_keyframes": per_shard,
+                "mode": mode, "query_batch": batch or 1,
+                "time_ms": round(1e3 * t, 3),
+            }))
     for per_shard in (1024, 2048, 4096):
         t = bench_dist_pgo(1, per_device=per_shard, iters=5)
         print(json.dumps({
